@@ -1,0 +1,149 @@
+"""Benchmark: base T2V sampling throughput on one chip.
+
+Measures the reference's hot path (SURVEY §3.1): the 50-step denoise loop —
+CFG-doubled UNet forward + DDPM step — compiled as ONE lax.scan program, plus
+the per-frame VAE decode, at the reference recipe (16 frames @ 320×512 latents
+40×64, bf16). Prints one JSON line:
+  {"metric": ..., "value": frames/sec/chip, "unit": "frames/s", "vs_baseline": ...}
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is measured
+against the round-1 pinned value below so later rounds show speedup.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Round-1 pinned value (frames/s on one v5e chip); later rounds compare to it.
+ROUND1_BASELINE_FPS = None  # set after first real-chip measurement
+
+STEPS = int(os.environ.get("BENCH_STEPS", "50"))
+FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
+HEIGHT = int(os.environ.get("BENCH_HEIGHT", "320"))
+WIDTH = int(os.environ.get("BENCH_WIDTH", "512"))
+TINY = os.environ.get("BENCH_TINY", "0") == "1"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from lavie_tpu.core.config import UNetConfig, VAEConfig
+    from lavie_tpu.diffusion import NoiseSchedule
+    from lavie_tpu.diffusion.samplers import (
+        classifier_free_guidance,
+        ddpm_step,
+        ddpm_timesteps,
+        prev_timesteps,
+    )
+    from lavie_tpu.nn.unet import UNet3D
+    from lavie_tpu.nn.vae import AutoencoderKL
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    unet_cfg = UNetConfig.base_t2v().tiny() if TINY else UNetConfig.base_t2v()
+    vae_cfg = VAEConfig.sd().tiny() if TINY else VAEConfig.sd()
+    height, width = (64, 64) if TINY else (HEIGHT, WIDTH)
+    frames = 2 if TINY else FRAMES
+
+    dtype = jnp.bfloat16
+    unet = UNet3D(config=unet_cfg, dtype=dtype)
+    vae = AutoencoderKL(config=vae_cfg, dtype=dtype)
+    schedule = NoiseSchedule.create()
+
+    lat_h, lat_w = height // 8, width // 8
+    lat = jnp.zeros((1, frames, lat_h, lat_w, 4), dtype)
+    ctx = jnp.zeros((2, 77, unet_cfg.cross_attention_dim), dtype)
+
+    log("initializing params (jitted)...")
+    t0 = time.time()
+    # jit the init: eager init is thousands of op dispatches (crippling over
+    # the axon tunnel); jitted it is one compiled program
+    unet_params = jax.jit(unet.init)(
+        jax.random.PRNGKey(0), jnp.concatenate([lat, lat]), jnp.array([0, 0]), ctx
+    )["params"]
+    vae_params = jax.jit(vae.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, height, width, 3))
+    )["params"]
+    # bf16 weights on-chip for inference (fp32 masters are a training concern)
+    unet_params = jax.tree.map(lambda x: x.astype(dtype), unet_params)
+    vae_params = jax.tree.map(lambda x: x.astype(dtype), vae_params)
+    n_params = sum(x.size for x in jax.tree.leaves(unet_params))
+    log(f"init done in {time.time()-t0:.1f}s; UNet params: {n_params/1e6:.0f}M")
+
+    ts = jnp.asarray(ddpm_timesteps(STEPS))
+    pts = jnp.asarray(prev_timesteps(np.asarray(ts)))
+
+    @jax.jit
+    def denoise(params, x, text_states, key):
+        def body(carry, tp):
+            x, key = carry
+            t, pt = tp
+            xin = jnp.concatenate([x, x], axis=0).astype(dtype)
+            pred = unet.apply(
+                {"params": params}, xin, jnp.broadcast_to(t, (2,)), text_states
+            ).astype(jnp.float32)
+            eps = classifier_free_guidance(pred, 7.5)
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, x.shape, dtype=jnp.float32)
+            x = ddpm_step(schedule, x, eps, t, pt, noise)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(body, (x.astype(jnp.float32), key), (ts, pts))
+        return x
+
+    @jax.jit
+    def decode(params, z):
+        z2d = (z / 0.18215).astype(dtype).reshape(frames, lat_h, lat_w, 4)
+        rgb = vae.apply({"params": params}, z2d, method=AutoencoderKL.decode)
+        return jnp.clip(rgb.astype(jnp.float32) / 2 + 0.5, 0, 1)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(2), lat.shape, dtype=jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    log("compiling + warmup (denoise)...")
+    t0 = time.time()
+    out = denoise(unet_params, x0, ctx, key)
+    out.block_until_ready()
+    log(f"denoise compile+first-run: {time.time()-t0:.1f}s")
+
+    log("compiling + warmup (decode)...")
+    t0 = time.time()
+    rgb = decode(vae_params, out)
+    rgb.block_until_ready()
+    log(f"decode compile+first-run: {time.time()-t0:.1f}s")
+
+    # timed runs
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        out = denoise(unet_params, x0, ctx, key)
+        rgb = decode(vae_params, out)
+        rgb.block_until_ready()
+        times.append(time.time() - t0)
+    best = min(times)
+    fps = frames / best
+    log(f"runs: {[f'{t:.2f}s' for t in times]}; best {best:.2f}s → {fps:.3f} frames/s")
+
+    vs = fps / ROUND1_BASELINE_FPS if ROUND1_BASELINE_FPS else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": f"frames/sec/chip base T2V {frames}x{height}x{width} {STEPS}-step DDPM+CFG (incl. VAE decode)",
+                "value": round(fps, 4),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

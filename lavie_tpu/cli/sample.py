@@ -1,0 +1,98 @@
+"""Base T2V sampling CLI.
+
+Mirrors the reference surface (reference: base/pipelines/sample.py:95-100):
+    python -m lavie_tpu.cli.sample --config configs/sample.yaml
+with the same YAML keys (text_prompt, ckpt_path, image_size, video_length,
+beta schedule, sample_method, num_sampling_steps, guidance_scale, seed,
+output_folder; reference: base/configs/sample.yaml).
+
+Extra keys:
+  model_scale: "full" (default) | "tiny"  — tiny runs weight-free for smoke
+  sd_path: directory with converted/torch SD weights (vae/text_encoder/unet)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from lavie_tpu.core.config import (
+    CLIPTextConfig,
+    SamplingConfig,
+    UNetConfig,
+    VAEConfig,
+    load_yaml_config,
+)
+from lavie_tpu.io.video import write_video
+from lavie_tpu.pipelines import TextToVideoPipeline
+
+
+def build_pipeline(cfg: dict) -> TextToVideoPipeline:
+    scale = cfg.get("model_scale", "full")
+    sampling = SamplingConfig(
+        video_length=cfg.get("video_length", 16),
+        height=cfg.get("image_size", [320, 512])[0],
+        width=cfg.get("image_size", [320, 512])[1],
+        num_inference_steps=cfg.get("num_sampling_steps", 50),
+        guidance_scale=cfg.get("guidance_scale", 7.5),
+        sample_method=cfg.get("sample_method", "ddpm"),
+        beta_start=cfg.get("beta_start", 1e-4),
+        beta_end=cfg.get("beta_end", 0.02),
+        beta_schedule=cfg.get("beta_schedule", "linear"),
+        fps=cfg.get("fps", 8),
+    )
+    if scale == "tiny":
+        unet_cfg = UNetConfig.base_t2v().tiny()
+        vae_cfg = VAEConfig.sd().tiny()
+        text_cfg = CLIPTextConfig.vit_l().tiny()
+    else:
+        unet_cfg = UNetConfig.base_t2v()
+        vae_cfg = VAEConfig.sd()
+        text_cfg = CLIPTextConfig.vit_l()
+
+    ckpt_path = cfg.get("ckpt_path")
+    if ckpt_path and os.path.exists(str(ckpt_path)):
+        from lavie_tpu.io.checkpoints import load_pipeline_params
+
+        pipe = TextToVideoPipeline.init_random(
+            jax.random.PRNGKey(0), unet_cfg, vae_cfg, text_cfg, sampling
+        )
+        pipe.params = load_pipeline_params(
+            pipe.params, ckpt_path, sd_path=cfg.get("pretrained_path")
+        )
+        return pipe
+    print(
+        "[lavie_tpu] no checkpoint found — running with random weights "
+        "(structure/perf demo; outputs are noise)",
+        file=sys.stderr,
+    )
+    return TextToVideoPipeline.init_random(
+        jax.random.PRNGKey(cfg.get("seed") or 0), unet_cfg, vae_cfg, text_cfg, sampling
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    args = parser.parse_args(argv)
+    cfg = load_yaml_config(args.config)
+
+    pipeline = build_pipeline(cfg)
+    out_dir = cfg.get("output_folder", "./res/base/")
+    os.makedirs(out_dir, exist_ok=True)
+
+    fps = cfg.get("fps", 8)
+    for prompt in cfg.get("text_prompt", []):
+        print(f"Processing the ({prompt}) prompt")
+        out = pipeline(prompt, seed=cfg.get("seed"))
+        path = os.path.join(out_dir, prompt.replace(" ", "_") + ".mp4")
+        written = write_video(path, out.video[0], fps=fps)
+        print(f"wrote {written}")
+
+
+if __name__ == "__main__":
+    main()

@@ -133,7 +133,8 @@ class UNetConfig:
             layers_per_block=1,
             num_attention_heads=2,
             norm_num_groups=8,
-            cross_attention_dim=16,
+            # matches CLIPTextConfig.tiny().hidden_size so tiny pipelines wire up
+            cross_attention_dim=32,
             rope_dim=4,
         )
         return dataclasses.replace(small, **overrides)

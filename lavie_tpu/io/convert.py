@@ -1,0 +1,231 @@
+"""Checkpoint conversion: PyTorch/diffusers state dicts → lavie_tpu params.
+
+Replaces the reference's load-time 2D→3D weight surgery
+(reference: base/models/unet.py:540-588, interpolation/models/unet.py:477-558,
+vsr/models/unet.py:620-646) with an offline converter:
+
+  - SD 2D UNet checkpoints: spatial weights map over; temporal layers
+    (attn_temp/norm_temp/rel-pos tables) keep their fresh init (zero-init out
+    projections make them no-ops, matching the reference's `_temp` surgery).
+  - LaVie 3D checkpoints (lavie_base.pt etc.): temporal keys map over too.
+  - conv_in channel widening for the interpolation UNet (4→8/9 channels):
+    extra input channels are zero-filled
+    (reference: interpolation/models/unet.py:519-530).
+
+The mapping is a deterministic string transform because module names mirror
+the HF key structure. Tensors transpose torch→flax:
+  Linear (O,I) → (I,O); Conv2d (O,I,kh,kw) → (kh,kw,I,O);
+  Conv3d (O,I,kf,kh,kw) → (kf,kh,kw,I,O); Embedding → copy.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Iterable, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# flax param-tree paths that may legitimately be absent from 2D checkpoints
+TEMPORAL_MARKERS = (
+    "attn_temp",
+    "norm_temp",
+    "time_rel_pos_bias",
+    "distance_embedding",
+    "temporal_modules",
+    "temp_",
+)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pt/.bin checkpoint to numpy, preferring the EMA sub-dict like
+    the reference loader (reference: base/download.py:10-18)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "ema" in obj:
+        obj = obj["ema"]
+    elif isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items() if hasattr(v, "detach")}
+
+
+# ---------------------------------------------------------------------------
+# path mapping
+# ---------------------------------------------------------------------------
+
+_SPECIAL = [
+    ("net_0_proj", "net.0.proj"),
+    ("net_2", "net.2"),
+    ("to_out_0", "to_out.0"),
+]
+
+# flat VAE module names → diffusers nested names
+_REGEX_SPECIAL = [
+    (re.compile(r"down_blocks_(\d+)_resnets_(\d+)"), r"down_blocks.\1.resnets.\2"),
+    (re.compile(r"down_blocks_(\d+)_downsample\b"), r"down_blocks.\1.downsamplers.0.conv"),
+    (re.compile(r"up_blocks_(\d+)_resnets_(\d+)"), r"up_blocks.\1.resnets.\2"),
+    (re.compile(r"up_blocks_(\d+)_upsample\b"), r"up_blocks.\1.upsamplers.0.conv"),
+    (re.compile(r"mid_resnet_(\d+)"), r"mid_block.resnets.\1"),
+    (re.compile(r"mid_attn\b"), r"mid_block.attentions.0"),
+]
+
+
+def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
+    """('down_blocks_0','resnets_1','norm1','norm','scale') →
+    'down_blocks.0.resnets.1.norm1.weight'."""
+    parts = list(path)
+    leaf = parts.pop()
+    # wrapper modules (GroupNorm/LayerNorm wrapper 'norm', InflatedConv /
+    # TemporalConv wrapper 'conv') insert one extra level — drop it. When the
+    # torch module itself is named norm/conv the wrapper doubles the name
+    # (e.g. downsamplers_0/conv/conv), so dropping one is always right.
+    if len(parts) >= 2 and parts[-1] in ("norm", "conv"):
+        parts.pop()
+
+    name = ".".join(parts)
+    for old, new in _SPECIAL:
+        name = name.replace(old, new)
+    for pat, repl in _REGEX_SPECIAL:
+        name = pat.sub(repl, name)
+    # list indices: resnets_0 → resnets.0, layers_11 → layers.11
+    name = re.sub(r"_(\d+)(?=\.|$)", r".\1", name)
+    # diffusers names that genuinely contain _<digit> (TimestepEmbedding)
+    name = name.replace("linear.1", "linear_1").replace("linear.2", "linear_2")
+
+    if leaf in ("kernel", "scale", "embedding"):
+        suffix = "weight"
+    elif leaf == "bias":
+        suffix = "bias"
+    else:
+        suffix = leaf  # raw params (e.g. position_embedding)
+        return name + ("." + suffix if name else suffix)
+    return f"{name}.{suffix}" if name else suffix
+
+
+def torch_tensor_to_flax(value: np.ndarray, flax_shape: Tuple[int, ...], leaf: str) -> np.ndarray:
+    """Transpose/reshape a torch tensor into the flax param layout."""
+    v = np.asarray(value)
+    if leaf == "kernel":
+        if v.ndim == 2:  # Linear (O, I) → (I, O)
+            v = v.T
+        elif v.ndim == 4:  # Conv2d (O,I,kh,kw) → (kh,kw,I,O)
+            if len(flax_shape) == 2:
+                # torch 1x1 conv mapped onto a flax Dense (proj_in/out)
+                v = v[:, :, 0, 0].T
+            else:
+                v = v.transpose(2, 3, 1, 0)
+        elif v.ndim == 5:  # Conv3d (O,I,kf,kh,kw) → (kf,kh,kw,I,O)
+            v = v.transpose(2, 3, 4, 1, 0)
+    # widen input channels (interpolation conv_in 4→8/9): zero-fill the extra
+    if leaf == "kernel" and v.ndim == len(flax_shape) and v.shape != tuple(flax_shape):
+        if (
+            v.ndim == 4
+            and v.shape[:2] == tuple(flax_shape[:2])
+            and v.shape[3] == flax_shape[3]
+            and v.shape[2] < flax_shape[2]
+        ):
+            pad = np.zeros(
+                (v.shape[0], v.shape[1], flax_shape[2] - v.shape[2], v.shape[3]), dtype=v.dtype
+            )
+            v = np.concatenate([v, pad], axis=2)
+    if v.shape != tuple(flax_shape):
+        raise ValueError(f"shape mismatch: torch {v.shape} vs flax {tuple(flax_shape)}")
+    return v
+
+
+def flax_tensor_to_torch(value: np.ndarray, leaf: str, conv_1x1_as_dense: bool = False) -> np.ndarray:
+    """Inverse of torch_tensor_to_flax (for export / round-trip tests)."""
+    v = np.asarray(value)
+    if leaf == "kernel":
+        if v.ndim == 2:
+            v = v.T
+        elif v.ndim == 4:
+            v = v.transpose(3, 2, 0, 1)
+        elif v.ndim == 5:
+            v = v.transpose(4, 3, 0, 1, 2)
+    return v
+
+
+def _is_temporal(torch_key: str) -> bool:
+    return any(m in torch_key for m in TEMPORAL_MARKERS)
+
+
+def convert_state_dict(
+    init_params: Mapping[str, Any],
+    state_dict: Mapping[str, np.ndarray],
+    *,
+    prefix: str = "",
+    allow_missing_temporal: bool = True,
+    strict_unused: bool = False,
+) -> Dict[str, Any]:
+    """Map a torch state dict onto the structure of `init_params`.
+
+    Missing temporal keys keep their fresh init (the reference's `_temp`
+    surgery, reference: base/models/unet.py:574-586). Any other missing key is
+    an error; unused torch keys error only when strict_unused.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(init_params)[0]
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    used = set()
+    missing = []
+    for keypath, leaf_val in flat:
+        path = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in keypath
+        )
+        torch_key = prefix + flax_path_to_torch_key(path)
+        leaf = path[-1]
+        if torch_key in state_dict:
+            out[path] = torch_tensor_to_flax(state_dict[torch_key], leaf_val.shape, leaf)
+            used.add(torch_key)
+        elif allow_missing_temporal and _is_temporal(torch_key):
+            out[path] = np.asarray(leaf_val)
+        else:
+            missing.append(torch_key)
+    if missing:
+        raise KeyError(
+            f"{len(missing)} keys missing from checkpoint, e.g. {missing[:5]}"
+        )
+    if strict_unused:
+        unused = set(state_dict) - used
+        if unused:
+            raise KeyError(f"{len(unused)} torch keys unused, e.g. {sorted(unused)[:5]}")
+
+    # rebuild the nested tree
+    nested: Dict[str, Any] = {}
+    for path, v in out.items():
+        node = nested
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jnp.asarray(v)
+    return nested
+
+
+def convert_clip_text(
+    init_params: Mapping[str, Any], state_dict: Mapping[str, np.ndarray]
+) -> Dict[str, Any]:
+    """transformers CLIPTextModel state dict → lavie_tpu CLIPTextModel params.
+
+    Handles the HF nesting our flat module skips (embeddings./encoder. levels,
+    'text_model.' prefix)."""
+    remapped = {}
+    for k, v in state_dict.items():
+        k = k.removeprefix("text_model.")
+        k = k.replace("embeddings.token_embedding", "token_embedding")
+        k = k.replace("embeddings.position_embedding.weight", "position_embedding")
+        k = k.replace("encoder.layers.", "layers.")
+        remapped[k] = v
+    return convert_state_dict(init_params, remapped, strict_unused=False)
+
+
+def export_state_dict(params: Mapping[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    """flax params → torch-keyed numpy dict (inverse of convert_state_dict)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for keypath, v in flat:
+        path = tuple(p.key if hasattr(p, "key") else str(p) for p in keypath)
+        out[prefix + flax_path_to_torch_key(path)] = flax_tensor_to_torch(
+            np.asarray(v), path[-1]
+        )
+    return out

@@ -1,0 +1,60 @@
+"""Host-side video read/write.
+
+The reference writes mp4 via imageio/ffmpeg and reads via decord /
+torchvision.io (reference: base/pipelines/sample.py:91,
+interpolation/sample.py:73-81, vsr/sample.py:85). Those stay host-side here
+too; gated so the framework works without ffmpeg (falls back to .npy)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def write_video(path: str, frames: np.ndarray, fps: int = 8, quality: int = 9) -> str:
+    """frames: (F, H, W, 3) uint8. Writes mp4 when imageio+ffmpeg is present,
+    otherwise falls back to an .npy next to the requested path."""
+    assert frames.ndim == 4 and frames.shape[-1] == 3, frames.shape
+    try:
+        import imageio.v2 as imageio
+
+        imageio.mimwrite(path, list(frames), fps=fps, quality=quality)
+        return path
+    except Exception:
+        pass
+    try:  # no ffmpeg: animated GIF via PIL
+        from PIL import Image
+
+        alt = os.path.splitext(path)[0] + ".gif"
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(
+            alt, save_all=True, append_images=imgs[1:],
+            duration=max(1, int(1000 / fps)), loop=0,
+        )
+        return alt
+    except Exception:
+        alt = os.path.splitext(path)[0] + ".npy"
+        np.save(alt, frames)
+        return alt
+
+
+def read_video(path: str, max_frames: Optional[int] = None) -> np.ndarray:
+    """Returns (F, H, W, 3) uint8. Reads mp4 via imageio, or .npy fallback."""
+    if path.endswith(".npy"):
+        frames = np.load(path)
+    else:
+        import imageio.v2 as imageio
+
+        reader = imageio.get_reader(path)
+        frames = []
+        for i, frame in enumerate(reader):
+            if max_frames is not None and i >= max_frames:
+                break
+            frames.append(frame)
+        reader.close()
+        frames = np.stack(frames)
+    if max_frames is not None:
+        frames = frames[:max_frames]
+    return frames.astype(np.uint8)

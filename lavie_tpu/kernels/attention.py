@@ -1,0 +1,103 @@
+"""Unified attention entry point for all attention in the framework.
+
+The reference routes attention through three code paths — eager baddbmm,
+head-sliced, and xformers CUDA memory-efficient attention
+(reference: base/models/attention.py:209-291). On TPU there is one entry:
+
+  dot_product_attention(q, k, v, bias=None, implementation=...)
+
+- "xla": einsum attention with fp32 softmax accumulation. XLA fuses this well
+  on the MXU; memory-efficiency tricks like head slicing are unnecessary at
+  these sequence lengths (≤ 10240 spatial tokens, ≤ 61 frames).
+- "flash": Pallas flash-attention kernel (TPU only) for the long spatial
+  sequences; falls back to "xla" off-TPU or for shapes the kernel doesn't
+  support.
+
+Shapes follow the TPU-friendly (batch, seq, heads, head_dim) convention.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    scale: float,
+) -> jnp.ndarray:
+    # scores in fp32 regardless of input dtype (reference upcasts softmax for
+    # stability; temporal attn additionally subtracts the row max,
+    # reference: base/models/attention.py:656 — jax.nn.softmax does this).
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    if bias is not None:
+        # bias broadcasting: (h, q, k) or (b, h, q, k)
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(v.dtype)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    scale: Optional[float] = None,
+    implementation: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head attention over (B, S, H, D) tensors.
+
+    Args:
+      q: (B, Sq, H, D)
+      k, v: (B, Sk, H, D)
+      bias: optional additive score bias, (H, Sq, Sk) or (B, H, Sq, Sk) —
+        carries the temporal relative-position bias
+        (reference: base/models/attention.py:648-650).
+      scale: score scale; defaults to D**-0.5.
+      implementation: "auto" | "xla" | "flash".
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    if implementation == "auto":
+        implementation = "flash" if _flash_supported(q, k, bias) else "xla"
+
+    if implementation == "flash":
+        from lavie_tpu.kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias, scale=scale)
+    return _xla_attention(q, k, v, bias, scale)
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _flash_supported(q, k, bias) -> bool:
+    """Flash kernel constraints: TPU backend, long-enough self-attention
+    sequences to be worth tiling, no bias (small temporal attention keeps the
+    XLA path)."""
+    if not _on_tpu() or bias is not None:
+        return False
+    try:
+        from lavie_tpu.kernels.flash_attention import flash_supported_shape
+    except ImportError:
+        return False
+    return flash_supported_shape(q, k)

@@ -1,0 +1,250 @@
+"""Attention modules for the spatio-temporal transformer blocks.
+
+Three attention flavors cover the whole cascade:
+  - Attention: spatial self-attention / text cross-attention
+    (reference: base/models/attention.py:43-291)
+  - TemporalAttention: frame-axis attention, either RoPE + bucketed
+    relative-position bias (base/VSR; reference: base/models/attention.py:562-667)
+    or BERT-style learned relative positions (interpolation;
+    reference: interpolation/models/attention.py:216-244)
+  - SparseCausalAttention: per-frame k/v from frames {0, i-1}
+    (interpolation; reference: interpolation/models/attention.py:609-665)
+
+All route through lavie_tpu.kernels.dot_product_attention — one fused TPU
+entry instead of the reference's eager/sliced/xformers triplet.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from lavie_tpu.kernels import dot_product_attention
+from lavie_tpu.nn.embeddings import (
+    apply_rope,
+    relative_position_buckets,
+    rope_frequencies,
+)
+
+Dtype = Any
+
+
+class Attention(nn.Module):
+    """Multi-head attention with diffusers-style projection names
+    (to_q/to_k/to_v/to_out.0) so weight conversion is a string map."""
+
+    query_dim: int
+    heads: int = 8
+    head_dim: int = 64
+    cross_attention_dim: Optional[int] = None  # None → self-attention
+    out_zero_init: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        inner = self.heads * self.head_dim
+        dense = lambda feats, name, zero=False: nn.Dense(
+            feats,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.zeros if zero else nn.initializers.lecun_normal(),
+            name=name,
+        )
+        self.to_q = dense(inner, "to_q")
+        self.to_k = dense(inner, "to_k")
+        self.to_v = dense(inner, "to_v")
+        # out projection has a bias in diffusers
+        self.to_out_0 = nn.Dense(
+            self.query_dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.zeros if self.out_zero_init else nn.initializers.lecun_normal(),
+            name="to_out_0",
+        )
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # (B, S, C)
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        b, s, _ = hidden_states.shape
+        sk = context.shape[1]
+        q = self.to_q(hidden_states).reshape(b, s, self.heads, self.head_dim)
+        k = self.to_k(context).reshape(b, sk, self.heads, self.head_dim)
+        v = self.to_v(context).reshape(b, sk, self.heads, self.head_dim)
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, s, self.heads * self.head_dim)
+        return self.to_out_0(out)
+
+
+class RelativePositionBias(nn.Module):
+    """Learned bucketed relative-position bias added to temporal attention
+    scores (reference: base/models/attention.py:669-707)."""
+
+    heads: int
+    num_buckets: int = 32
+    max_distance: int = 32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, n: int) -> jnp.ndarray:
+        buckets = jnp.asarray(
+            relative_position_buckets(n, self.num_buckets, self.max_distance)
+        )
+        values = nn.Embed(
+            self.num_buckets,
+            self.heads,
+            param_dtype=self.param_dtype,
+            name="relative_attention_bias",
+        )(buckets)  # (n, n, heads)
+        return jnp.transpose(values, (2, 0, 1))  # (heads, n, n)
+
+
+class TemporalAttention(nn.Module):
+    """Attention over the frame axis, (B·H·W, F, C) rows.
+
+    variant="rope_relbias": partial RoPE on q/k + learned relative-position
+      bias added to the scores — the base/VSR temporal attention.
+    variant="learned_relpos": BERT-style learned relative position embeddings
+      contracted with q and k — the interpolation temporal attention. Its
+      score normalization reproduces the reference quirk of applying the
+      1/sqrt(d) scale twice to the q·k term
+      (reference: interpolation/models/attention.py:225-245).
+    """
+
+    query_dim: int
+    heads: int = 8
+    head_dim: int = 64
+    variant: str = "rope_relbias"
+    rope_dim: int = 32
+    num_buckets: int = 32
+    max_distance: int = 32
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        inner = self.heads * self.head_dim
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        self.to_q = dense(inner, "to_q")
+        self.to_k = dense(inner, "to_k")
+        self.to_v = dense(inner, "to_v")
+        # zero-initialized out projection: at init the temporal residual is a
+        # no-op, preserving the pretrained 2D behavior
+        # (reference: base/models/attention.py:475)
+        self.to_out_0 = nn.Dense(
+            self.query_dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.zeros,
+            name="to_out_0",
+        )
+        if self.variant == "rope_relbias":
+            self.time_rel_pos_bias = RelativePositionBias(
+                heads=self.heads,
+                num_buckets=self.num_buckets,
+                max_distance=self.max_distance,
+                param_dtype=self.param_dtype,
+                name="time_rel_pos_bias",
+            )
+        elif self.variant == "learned_relpos":
+            self.max_position_embeddings = 32
+            self.distance_embedding = nn.Embed(
+                2 * 32 - 1,
+                self.head_dim,
+                param_dtype=self.param_dtype,
+                name="distance_embedding",
+            )
+        else:
+            raise ValueError(f"unknown temporal attention variant: {self.variant}")
+
+    def __call__(self, hidden_states: jnp.ndarray) -> jnp.ndarray:
+        b, f, _ = hidden_states.shape
+        q = self.to_q(hidden_states).reshape(b, f, self.heads, self.head_dim)
+        k = self.to_k(hidden_states).reshape(b, f, self.heads, self.head_dim)
+        v = self.to_v(hidden_states).reshape(b, f, self.heads, self.head_dim)
+
+        if self.variant == "rope_relbias":
+            cos_np, sin_np = rope_frequencies(f, min(self.rope_dim, self.head_dim))
+            cos = jnp.asarray(cos_np, dtype=q.dtype)[:, None, :]  # (f, 1, rot)
+            sin = jnp.asarray(sin_np, dtype=q.dtype)[:, None, :]
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            bias = self.time_rel_pos_bias(f)  # (heads, f, f)
+            out = dot_product_attention(q, k, v, bias=bias)
+        else:
+            # BERT-style: scores = (q·kᵀ·d^-0.5 + q·E + k·E) / sqrt(d)
+            scale = self.head_dim**-0.5
+            qh = jnp.einsum("bfhd->bhfd", q).astype(jnp.float32)
+            kh = jnp.einsum("bfhd->bhfd", k).astype(jnp.float32)
+            scores = scale * jnp.einsum("bhld,bhrd->bhlr", qh, kh)
+            dist = np.arange(f)[:, None] - np.arange(f)[None, :]
+            emb = self.distance_embedding(
+                jnp.asarray(dist + self.max_position_embeddings - 1)
+            ).astype(jnp.float32)  # (f, f, d)
+            scores = scores + jnp.einsum("bhld,lrd->bhlr", qh, emb)
+            scores = scores + jnp.einsum("bhrd,lrd->bhlr", kh, emb)
+            scores = scores / np.sqrt(self.head_dim)
+            probs = nn.softmax(scores, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhlr,brhd->blhd", probs, v)
+
+        out = out.reshape(b, f, self.heads * self.head_dim)
+        return self.to_out_0(out)
+
+
+class SparseCausalAttention(nn.Module):
+    """First-frame-anchored cross-frame attention: each frame's k/v tokens are
+    the concatenation of frame 0's and frame i-1's tokens
+    (reference: interpolation/models/attention.py:629-639).
+
+    Input is spatially folded (B·F, S, C); `video_length` recovers the frame
+    axis statically.
+    """
+
+    query_dim: int
+    heads: int = 8
+    head_dim: int = 64
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        inner = self.heads * self.head_dim
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        self.to_q = dense(inner, "to_q")
+        self.to_k = dense(inner, "to_k")
+        self.to_v = dense(inner, "to_v")
+        self.to_out_0 = nn.Dense(
+            self.query_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out_0"
+        )
+
+    def __call__(self, hidden_states: jnp.ndarray, video_length: int) -> jnp.ndarray:
+        bf, s, _ = hidden_states.shape
+        f = video_length
+        b = bf // f
+        q = self.to_q(hidden_states)
+        k = self.to_k(hidden_states)
+        v = self.to_v(hidden_states)
+
+        def gather_sparse(x):
+            x = x.reshape(b, f, s, -1)
+            former = np.maximum(np.arange(f) - 1, 0)
+            anchor = x[:, np.zeros(f, dtype=np.int32)]  # frame 0 per frame
+            prev = x[:, former]
+            return jnp.concatenate([anchor, prev], axis=2).reshape(bf, 2 * s, -1)
+
+        k = gather_sparse(k)
+        v = gather_sparse(v)
+        q = q.reshape(bf, s, self.heads, self.head_dim)
+        k = k.reshape(bf, 2 * s, self.heads, self.head_dim)
+        v = v.reshape(bf, 2 * s, self.heads, self.head_dim)
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(bf, s, self.heads * self.head_dim)
+        return self.to_out_0(out)

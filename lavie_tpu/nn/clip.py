@@ -1,0 +1,214 @@
+"""CLIP text encoder in flax.
+
+The reference wraps transformers' torch CLIPTextModel (ViT-L/14) and takes
+`last_hidden_state` [B, 77, 768] as the UNet conditioning
+(reference: base/models/clip.py:32-58, base/pipelines/pipeline_videogen.py:273-420).
+This is the same transformer re-implemented natively: pre-LN blocks, causal
+mask, quick-gelu MLP. Param names mirror HF so conversion is a string map.
+
+Also provides CLIPVisionModel (ViT-L/14 vision tower) for the fork's
+image-conditioning path (reference: base/pipelines/inference.py:286-292 uses
+vision `last_hidden_state` [B, 257, 1024]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lavie_tpu.core.config import CLIPTextConfig
+
+Dtype = Any
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class CLIPMLP(nn.Module):
+    hidden_size: int
+    intermediate_size: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = nn.Dense(self.intermediate_size, name="fc1", **common)(x)
+        x = quick_gelu(x)
+        return nn.Dense(self.hidden_size, name="fc2", **common)(x)
+
+
+class CLIPAttention(nn.Module):
+    hidden_size: int
+    num_heads: int
+    causal: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, c = x.shape
+        hd = self.hidden_size // self.num_heads
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        q = nn.Dense(self.hidden_size, name="q_proj", **common)(x)
+        k = nn.Dense(self.hidden_size, name="k_proj", **common)(x)
+        v = nn.Dense(self.hidden_size, name="v_proj", **common)(x)
+        q = q.reshape(b, s, self.num_heads, hd)
+        k = k.reshape(b, s, self.num_heads, hd)
+        v = v.reshape(b, s, self.num_heads, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores * (hd**-0.5)
+        if self.causal:
+            mask = np.triu(np.full((s, s), -1e9, dtype=np.float32), k=1)
+            scores = scores + jnp.asarray(mask)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, c)
+        return nn.Dense(self.hidden_size, name="out_proj", **common)(out)
+
+
+class CLIPEncoderLayer(nn.Module):
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    eps: float = 1e-5
+    causal: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ln = lambda name: nn.LayerNorm(
+            epsilon=self.eps, dtype=jnp.float32, param_dtype=jnp.float32, name=name
+        )
+        h = ln("layer_norm1")(x.astype(jnp.float32)).astype(x.dtype)
+        x = x + CLIPAttention(
+            self.hidden_size, self.num_heads, causal=self.causal,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="self_attn",
+        )(h)
+        h = ln("layer_norm2")(x.astype(jnp.float32)).astype(x.dtype)
+        x = x + CLIPMLP(
+            self.hidden_size, self.intermediate_size,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="mlp",
+        )(h)
+        return x
+
+
+class CLIPTextModel(nn.Module):
+    """Token ids (B, 77) → last_hidden_state (B, 77, hidden)."""
+
+    config: CLIPTextConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        tok = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, param_dtype=self.param_dtype,
+            name="token_embedding",
+        )(input_ids)
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.max_position_embeddings, cfg.hidden_size),
+            self.param_dtype,
+        )
+        x = (tok + pos[None, : input_ids.shape[1]]).astype(self.dtype)
+        for i in range(cfg.num_layers):
+            x = CLIPEncoderLayer(
+                cfg.hidden_size,
+                cfg.num_heads,
+                cfg.intermediate_size,
+                eps=cfg.layer_norm_eps,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"layers_{i}",
+            )(x)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32,
+            name="final_layer_norm",
+        )(x.astype(jnp.float32))
+        return x.astype(self.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    """ViT-L/14: the fork's image-conditioning tower
+    (reference: base/pipelines/inference.py:286-292)."""
+
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def num_positions(self) -> int:
+        return (self.image_size // self.patch_size) ** 2 + 1
+
+    def tiny(self) -> "CLIPVisionConfig":
+        return dataclasses.replace(
+            self, image_size=28, patch_size=14, hidden_size=32, num_layers=2,
+            num_heads=2, intermediate_size=64,
+        )
+
+
+class CLIPVisionModel(nn.Module):
+    """Pixel values (B, H, W, 3) → last_hidden_state (B, 1+patches, hidden)."""
+
+    config: CLIPVisionConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        b = pixel_values.shape[0]
+        patches = nn.Conv(
+            cfg.hidden_size,
+            (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            use_bias=False,
+            padding="VALID",
+            name="patch_embedding",
+            **common,
+        )(pixel_values)
+        patches = patches.reshape(b, -1, cfg.hidden_size)
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (cfg.hidden_size,), self.param_dtype
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(patches.dtype), (b, 1, cfg.hidden_size)), patches], axis=1
+        )
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.num_positions, cfg.hidden_size),
+            self.param_dtype,
+        )
+        x = x + pos[None].astype(x.dtype)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32,
+            name="pre_layrnorm",
+        )(x.astype(jnp.float32)).astype(self.dtype)
+        for i in range(cfg.num_layers):
+            x = CLIPEncoderLayer(
+                cfg.hidden_size,
+                cfg.num_heads,
+                cfg.intermediate_size,
+                eps=cfg.layer_norm_eps,
+                causal=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"layers_{i}",
+            )(x)
+        return x

@@ -1,0 +1,137 @@
+"""Core layers shared by all models.
+
+Layout convention: video activations are channels-last (B, F, H, W, C) —
+the TPU-native layout (XLA convs want NHWC; the reference is NCHW,
+reference: base/models/resnet.py:13-21). Spatial ops fold frames into batch
+as (B·F, H, W, C), which is a free reshape in this layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lavie_tpu.nn.embeddings import sinusoidal_timestep_embedding
+
+Dtype = Any
+
+
+def fold_frames(x: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    """(B, F, H, W, C) → (B·F, H, W, C). The TPU analog of the reference's
+    `rearrange(x, "b c f h w -> (b f) c h w")` per-frame fold
+    (reference: base/models/resnet.py:17)."""
+    b, f = x.shape[0], x.shape[1]
+    return x.reshape((b * f,) + x.shape[2:]), f
+
+
+def unfold_frames(x: jnp.ndarray, video_length: int) -> jnp.ndarray:
+    """(B·F, H, W, C) → (B, F, H, W, C)."""
+    bf = x.shape[0]
+    return x.reshape((bf // video_length, video_length) + x.shape[1:])
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics regardless of activation dtype
+    (channels-last; consecutive channel grouping matches torch)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="norm",
+        )(x.astype(jnp.float32))
+        return out.astype(orig_dtype)
+
+
+class InflatedConv(nn.Module):
+    """Per-frame 2D convolution over (B, F, H, W, C) video tensors.
+
+    All '3D' convs in the reference's base/interpolation stages are 2D convs
+    applied per frame (reference: base/models/resnet.py:13-21); here the frame
+    fold is a reshape and XLA batches the conv over B·F on the MXU.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        video = x.ndim == 5
+        if video:
+            x, f = fold_frames(x)
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        if video:
+            x = unfold_frames(x, f)
+        return x
+
+
+class TemporalConv(nn.Module):
+    """True 3D temporal convolution, kernel (k, 1, 1) over the frame axis —
+    the VSR stage's only genuine 3D convs
+    (reference: vsr/models/resnet.py:255, 271)."""
+
+    features: int
+    kernel_frames: int = 5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # (B, F, H, W, C): conv over (F, H, W) with kernel (k, 1, 1)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_frames, 1, 1),
+            padding=((self.kernel_frames // 2,) * 2, (0, 0), (0, 0)),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+
+
+class TimestepEmbedding(nn.Module):
+    """Sinusoidal projection + 2-layer MLP (diffusers TimestepEmbedding;
+    reference: base/models/unet.py:153-156)."""
+
+    sinusoid_dim: int
+    embed_dim: int
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, timesteps: jnp.ndarray) -> jnp.ndarray:
+        t_emb = sinusoidal_timestep_embedding(
+            timesteps,
+            self.sinusoid_dim,
+            flip_sin_to_cos=self.flip_sin_to_cos,
+            downscale_freq_shift=self.freq_shift,
+        ).astype(self.dtype)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_2")(x)
+        return x

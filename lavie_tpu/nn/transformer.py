@@ -1,0 +1,244 @@
+"""Spatio-temporal transformer blocks.
+
+The core factorization of the cascade: per-frame spatial self-attention, text
+cross-attention, then frame-axis temporal attention — never full (f·h·w)²
+attention (reference: base/models/attention.py:294-560). That factorization
+*is* the long-context strategy (SURVEY §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lavie_tpu.nn.attention import Attention, SparseCausalAttention, TemporalAttention
+from lavie_tpu.nn.layers import GroupNorm, fold_frames, unfold_frames
+
+Dtype = Any
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics, cast back to the activation dtype."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = nn.LayerNorm(
+            epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32, name="norm"
+        )(x.astype(jnp.float32))
+        return out.astype(x.dtype)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward, dim → 4·dim → dim (diffusers FeedForward;
+    reference: base/models/attention.py:479)."""
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        proj = nn.Dense(
+            inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="net_0_proj"
+        )(x)
+        hidden, gate = jnp.split(proj, 2, axis=-1)
+        x = hidden * nn.gelu(gate, approximate=False)
+        return nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="net_2"
+        )(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    """One spatial/cross/temporal/FF block over spatially-folded tokens
+    (B·F, S, C) (reference: base/models/attention.py:410-560)."""
+
+    dim: int
+    heads: int
+    head_dim: int
+    cross_attention_dim: Optional[int] = None
+    only_cross_attention: bool = False
+    spatial_attention: str = "self"  # self | sparse_causal
+    temporal_attention: str = "rope_relbias"  # rope_relbias | learned_relpos | none
+    rope_dim: int = 32
+    relpos_num_buckets: int = 32
+    relpos_max_distance: int = 32
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.spatial_attention == "sparse_causal":
+            self.attn1 = SparseCausalAttention(
+                query_dim=self.dim, heads=self.heads, head_dim=self.head_dim, **common,
+                name="attn1",
+            )
+        else:
+            self.attn1 = Attention(
+                query_dim=self.dim,
+                heads=self.heads,
+                head_dim=self.head_dim,
+                cross_attention_dim=self.cross_attention_dim if self.only_cross_attention else None,
+                **common,
+                name="attn1",
+            )
+        self.norm1 = LayerNorm(dtype=self.dtype, name="norm1")
+
+        if self.cross_attention_dim is not None and not self.only_cross_attention:
+            self.attn2 = Attention(
+                query_dim=self.dim,
+                heads=self.heads,
+                head_dim=self.head_dim,
+                cross_attention_dim=self.cross_attention_dim,
+                **common,
+                name="attn2",
+            )
+            self.norm2 = LayerNorm(dtype=self.dtype, name="norm2")
+        else:
+            self.attn2 = None
+
+        if self.temporal_attention != "none":
+            self.attn_temp = TemporalAttention(
+                query_dim=self.dim,
+                heads=self.heads,
+                head_dim=self.head_dim,
+                variant=self.temporal_attention,
+                rope_dim=self.rope_dim,
+                num_buckets=self.relpos_num_buckets,
+                max_distance=self.relpos_max_distance,
+                **common,
+                name="attn_temp",
+            )
+            self.norm_temp = LayerNorm(dtype=self.dtype, name="norm_temp")
+        else:
+            self.attn_temp = None
+
+        self.ff = FeedForward(dim=self.dim, **common, name="ff")
+        self.norm3 = LayerNorm(dtype=self.dtype, name="norm3")
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # (B·F, S, C)
+        encoder_hidden_states: Optional[jnp.ndarray],  # (B·F, L, D)
+        video_length: int,
+    ) -> jnp.ndarray:
+        # spatial attention (self, sparse-causal, or only-cross for VSR blocks)
+        norm_hs = self.norm1(hidden_states)
+        if self.spatial_attention == "sparse_causal":
+            hidden_states = self.attn1(norm_hs, video_length=video_length) + hidden_states
+        elif self.only_cross_attention:
+            hidden_states = self.attn1(norm_hs, encoder_hidden_states) + hidden_states
+        else:
+            hidden_states = self.attn1(norm_hs) + hidden_states
+
+        # text cross-attention
+        if self.attn2 is not None:
+            hidden_states = (
+                self.attn2(self.norm2(hidden_states), encoder_hidden_states)
+                + hidden_states
+            )
+
+        # temporal attention over the frame axis: (B·F, S, C) → (B·S, F, C)
+        if self.attn_temp is not None:
+            bf, s, c = hidden_states.shape
+            b = bf // video_length
+            x = hidden_states.reshape(b, video_length, s, c)
+            x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * s, video_length, c)
+            x = self.attn_temp(self.norm_temp(x)) + x
+            x = x.reshape(b, s, video_length, c)
+            hidden_states = jnp.transpose(x, (0, 2, 1, 3)).reshape(bf, s, c)
+
+        # feed-forward
+        hidden_states = self.ff(self.norm3(hidden_states)) + hidden_states
+        return hidden_states
+
+
+class Transformer3D(nn.Module):
+    """GroupNorm → proj_in → transformer blocks → proj_out, with the frame
+    axis folded into batch for all spatial work
+    (reference: base/models/attention.py:294-407)."""
+
+    in_channels: int
+    heads: int
+    head_dim: int
+    num_layers: int = 1
+    cross_attention_dim: Optional[int] = None
+    only_cross_attention: bool = False
+    use_linear_projection: bool = False
+    norm_num_groups: int = 32
+    spatial_attention: str = "self"
+    temporal_attention: str = "rope_relbias"
+    rope_dim: int = 32
+    relpos_num_buckets: int = 32
+    relpos_max_distance: int = 32
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        inner = self.heads * self.head_dim
+        self.norm = GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
+        )
+        if self.use_linear_projection:
+            self.proj_in = nn.Dense(
+                inner, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
+            )
+            self.proj_out = nn.Dense(
+                self.in_channels, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
+            )
+        else:
+            # 1x1 conv == dense over the channel axis in channels-last layout
+            self.proj_in = nn.Dense(
+                inner, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
+            )
+            self.proj_out = nn.Dense(
+                self.in_channels, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
+            )
+        self.transformer_blocks = [
+            BasicTransformerBlock(
+                dim=inner,
+                heads=self.heads,
+                head_dim=self.head_dim,
+                cross_attention_dim=self.cross_attention_dim,
+                only_cross_attention=self.only_cross_attention,
+                spatial_attention=self.spatial_attention,
+                temporal_attention=self.temporal_attention,
+                rope_dim=self.rope_dim,
+                relpos_num_buckets=self.relpos_num_buckets,
+                relpos_max_distance=self.relpos_max_distance,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )
+            for _ in range(self.num_layers)
+        ]
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # (B, F, H, W, C)
+        encoder_hidden_states: Optional[jnp.ndarray],  # (B, L, D)
+    ) -> jnp.ndarray:
+        b, f, h, w, c = hidden_states.shape
+        residual = hidden_states
+        x, _ = fold_frames(hidden_states)  # (B·F, H, W, C)
+        x = self.norm(x)
+        # tokens
+        x = x.reshape(b * f, h * w, c)
+        x = self.proj_in(x)
+
+        ehs = None
+        if encoder_hidden_states is not None:
+            # repeat text states per frame: (B, L, D) → (B·F, L, D)
+            ehs = jnp.repeat(encoder_hidden_states, f, axis=0)
+
+        for block in self.transformer_blocks:
+            x = block(x, ehs, video_length=f)
+
+        x = self.proj_out(x)
+        x = x.reshape(b, f, h, w, c)
+        return x + residual

@@ -1,0 +1,190 @@
+"""AutoencoderKL — the SD f8 VAE (base/interpolation) and f4 x4-upscaler VAE
+(VSR), in channels-last JAX.
+
+The reference vendors diffusers' AutoencoderKL
+(reference: vsr/models/autoencoder_kl.py:46, and base loads
+diffusers.models.AutoencoderKL, reference: base/pipelines/sample.py:30).
+Video usage is per-frame: the pipeline folds frames into batch, so everything
+here is (N, H, W, C) 2D. Tiled/sliced decode becomes frame-axis sharding plus
+XLA's own memory scheduling on TPU; spatial tiling for the 1280×2048 VSR
+decode lives in the pipeline layer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lavie_tpu.core.config import VAEConfig
+from lavie_tpu.nn.layers import GroupNorm
+
+Dtype = Any
+
+
+class VAEResnetBlock(nn.Module):
+    """GN→SiLU→conv ×2 with 1×1 shortcut; no time embedding."""
+
+    in_channels: int
+    out_channels: int
+    norm_num_groups: int = 32
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv1", **common)(h)
+        h = GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv2", **common)(h)
+        if self.in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut", **common)(x)
+        return x + h
+
+
+class VAEAttentionBlock(nn.Module):
+    """Single-head spatial self-attention at the VAE bottleneck
+    (diffusers AttentionBlock param names: query/key/value/proj_attn)."""
+
+    channels: int
+    norm_num_groups: int = 32
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        residual = x
+        x = GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
+        x = x.reshape(n, h * w, c)
+        q = nn.Dense(c, name="query", **common)(x)
+        k = nn.Dense(c, name="key", **common)(x)
+        v = nn.Dense(c, name="value", **common)(x)
+        scores = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores * (c**-0.5)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", probs, v)
+        out = nn.Dense(c, name="proj_attn", **common)(out)
+        return out.reshape(n, h, w, c) + residual
+
+
+class Encoder(nn.Module):
+    config: VAEConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        boc = cfg.block_out_channels
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        x = nn.Conv(boc[0], (3, 3), padding="SAME", name="conv_in", **common)(x)
+        ch = boc[0]
+        for i, out_ch in enumerate(boc):
+            for j in range(cfg.layers_per_block):
+                x = VAEResnetBlock(
+                    in_channels=ch,
+                    out_channels=out_ch,
+                    norm_num_groups=cfg.norm_num_groups,
+                    name=f"down_blocks_{i}_resnets_{j}",
+                    **common,
+                )(x)
+                ch = out_ch
+            if i < len(boc) - 1:
+                # diffusers downsample: asymmetric (0,1) pad + VALID stride-2
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                x = nn.Conv(
+                    out_ch, (3, 3), strides=(2, 2), padding="VALID",
+                    name=f"down_blocks_{i}_downsample", **common,
+                )(x)
+
+        x = VAEResnetBlock(ch, ch, cfg.norm_num_groups, name="mid_resnet_0", **common)(x)
+        if cfg.mid_block_attention:
+            x = VAEAttentionBlock(ch, cfg.norm_num_groups, name="mid_attn", **common)(x)
+        x = VAEResnetBlock(ch, ch, cfg.norm_num_groups, name="mid_resnet_1", **common)(x)
+
+        x = GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        return nn.Conv(2 * cfg.latent_channels, (3, 3), padding="SAME", name="conv_out", **common)(x)
+
+
+class Decoder(nn.Module):
+    config: VAEConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        boc = cfg.block_out_channels
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        ch = boc[-1]
+        x = nn.Conv(ch, (3, 3), padding="SAME", name="conv_in", **common)(z)
+
+        x = VAEResnetBlock(ch, ch, cfg.norm_num_groups, name="mid_resnet_0", **common)(x)
+        if cfg.mid_block_attention:
+            x = VAEAttentionBlock(ch, cfg.norm_num_groups, name="mid_attn", **common)(x)
+        x = VAEResnetBlock(ch, ch, cfg.norm_num_groups, name="mid_resnet_1", **common)(x)
+
+        for i, out_ch in enumerate(reversed(boc)):
+            for j in range(cfg.layers_per_block + 1):
+                x = VAEResnetBlock(
+                    in_channels=ch,
+                    out_channels=out_ch,
+                    norm_num_groups=cfg.norm_num_groups,
+                    name=f"up_blocks_{i}_resnets_{j}",
+                    **common,
+                )(x)
+                ch = out_ch
+            if i < len(boc) - 1:
+                n, h, w, c = x.shape
+                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+                x = nn.Conv(
+                    out_ch, (3, 3), padding="SAME", name=f"up_blocks_{i}_upsample", **common
+                )(x)
+
+        x = GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        return nn.Conv(cfg.out_channels, (3, 3), padding="SAME", name="conv_out", **common)(x)
+
+
+class AutoencoderKL(nn.Module):
+    """encode → (mean, logvar); decode latent → RGB. Per-frame 2D (N,H,W,C)."""
+
+    config: VAEConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.encoder = Encoder(config=self.config, name="encoder", **common)
+        self.decoder = Decoder(config=self.config, name="decoder", **common)
+        lc = self.config.latent_channels
+        self.quant_conv = nn.Conv(2 * lc, (1, 1), name="quant_conv", **common)
+        self.post_quant_conv = nn.Conv(lc, (1, 1), name="post_quant_conv", **common)
+
+    def encode(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x: jnp.ndarray, rng: Optional[jax.Array] = None):
+        mean, logvar = self.encode(x)
+        z = mean
+        if rng is not None:
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
+        return self.decode(z), mean, logvar
+
+    def sample_posterior(self, mean, logvar, rng):
+        return mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape, dtype=mean.dtype)

@@ -1,0 +1,313 @@
+"""Base text-to-video pipeline.
+
+The reference's VideoGenPipeline runs a Python loop calling scheduler.step 50
+times with per-step host sync (reference: base/pipelines/pipeline_videogen.py:512-695).
+Here the whole sample — CFG batch doubling, UNet, stepper, and VAE decode —
+compiles to ONE XLA program with the denoise loop as `lax.scan`.
+
+Public surface mirrors the reference call:
+    pipeline(prompt, video_length=16, height=320, width=512,
+             num_inference_steps=50, guidance_scale=7.5).video
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lavie_tpu.core.config import (
+    CLIPTextConfig,
+    SamplingConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from lavie_tpu.diffusion import NoiseSchedule
+from lavie_tpu.diffusion.samplers import (
+    classifier_free_guidance,
+    ddim_step,
+    ddim_timesteps,
+    ddpm_step,
+    ddpm_timesteps,
+    euler_scale_model_input,
+    euler_sigmas,
+    euler_step,
+    prev_timesteps,
+)
+from lavie_tpu.io.tokenizer import CLIPTokenizer
+from lavie_tpu.nn.clip import CLIPTextModel
+from lavie_tpu.nn.unet import UNet3D
+from lavie_tpu.nn.vae import AutoencoderKL
+
+
+@dataclasses.dataclass
+class PipelineOutput:
+    video: np.ndarray  # (B, F, H, W, 3) uint8
+
+
+class TextToVideoPipeline:
+    """Owns the three models' configs + params and a cache of compiled
+    samplers keyed by static sampling shapes."""
+
+    def __init__(
+        self,
+        unet_config: UNetConfig,
+        vae_config: VAEConfig,
+        text_config: CLIPTextConfig,
+        params: Dict[str, Any],
+        sampling: SamplingConfig = SamplingConfig(),
+        tokenizer: Optional[CLIPTokenizer] = None,
+        dtype: Any = jnp.bfloat16,
+    ):
+        self.unet_config = unet_config
+        self.vae_config = vae_config
+        self.text_config = text_config
+        self.sampling = sampling
+        self.dtype = dtype
+        self.params = params
+        self.tokenizer = tokenizer or CLIPTokenizer(
+            max_length=text_config.max_position_embeddings,
+            vocab_size=text_config.vocab_size,
+        )
+
+        self.unet = UNet3D(config=unet_config, dtype=dtype)
+        self.vae = AutoencoderKL(config=vae_config, dtype=dtype)
+        self.text_encoder = CLIPTextModel(config=text_config, dtype=dtype)
+
+        self.schedule = NoiseSchedule.create(
+            sampling.beta_schedule,
+            sampling.num_train_timesteps,
+            sampling.beta_start,
+            sampling.beta_end,
+        )
+        self._compiled: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def init_random(
+        cls,
+        rng: jax.Array,
+        unet_config: UNetConfig = UNetConfig.base_t2v(),
+        vae_config: VAEConfig = VAEConfig.sd(),
+        text_config: CLIPTextConfig = CLIPTextConfig.vit_l(),
+        sampling: SamplingConfig = SamplingConfig(),
+        dtype: Any = jnp.bfloat16,
+    ) -> "TextToVideoPipeline":
+        """Randomly-initialized pipeline (no checkpoint), for benchmarking and
+        weight-free testing."""
+        k1, k2, k3 = jax.random.split(rng, 3)
+        unet = UNet3D(config=unet_config, dtype=dtype)
+        vae = AutoencoderKL(config=vae_config, dtype=dtype)
+        text = CLIPTextModel(config=text_config, dtype=dtype)
+
+        f = vae_config.downscale_factor
+        # init spatial size must survive the UNet's 3 downsamples: latent ≥ 8
+        s = max(8 * f, 64)
+        lat = jnp.zeros((1, 2, s // f, s // f, unet_config.in_channels))
+        ctx = jnp.zeros((1, text_config.max_position_embeddings, unet_config.cross_attention_dim))
+        # jitted init: one compiled program instead of thousands of op
+        # dispatches (critical when the device is behind a network tunnel)
+        unet_params = jax.jit(unet.init)(k1, lat, jnp.array([0]), ctx)["params"]
+        # init via __call__ so encoder, decoder and both quant convs exist
+        vae_params = jax.jit(vae.init)(
+            k2, jnp.zeros((1, s, s, vae_config.in_channels))
+        )["params"]
+        ids = jnp.zeros((1, text_config.max_position_embeddings), dtype=jnp.int32)
+        text_params = jax.jit(text.init)(k3, ids)["params"]
+        params = {"unet": unet_params, "vae": vae_params, "text_encoder": text_params}
+        return cls(unet_config, vae_config, text_config, params, sampling, dtype=dtype)
+
+    # ------------------------------------------------------------------
+    # compiled sampler
+    # ------------------------------------------------------------------
+
+    def _build_sampler(
+        self,
+        batch: int,
+        video_length: int,
+        height: int,
+        width: int,
+        num_inference_steps: int,
+        sample_method: str,
+        eta: float,
+        decode_chunk: int,
+    ):
+        """Returns a jitted fn(params, token_ids, init_noise, noise_key,
+        guidance_scale) → uint8 video."""
+        cfg = self.sampling
+        schedule = self.schedule
+        f = self.vae_config.downscale_factor
+        lat_h, lat_w = height // f, width // f
+        lat_c = self.unet_config.in_channels
+        scaling = self.vae_config.scaling_factor
+        dtype = self.dtype
+
+        if sample_method == "ddpm":
+            ts = ddpm_timesteps(num_inference_steps, cfg.num_train_timesteps)
+            pts = prev_timesteps(ts, cfg.num_train_timesteps)
+            init_sigma = 1.0
+            extras = (jnp.asarray(ts), jnp.asarray(pts))
+        elif sample_method == "ddim":
+            ts = ddim_timesteps(num_inference_steps, cfg.num_train_timesteps, cfg.steps_offset)
+            pts = prev_timesteps(ts, cfg.num_train_timesteps)
+            init_sigma = 1.0
+            extras = (jnp.asarray(ts), jnp.asarray(pts))
+        elif sample_method == "eulerdiscrete":
+            ts_f, sigmas, init_sigma = euler_sigmas(
+                np.asarray(schedule.alphas_cumprod), num_inference_steps, cfg.num_train_timesteps
+            )
+            extras = (jnp.asarray(ts_f), jnp.asarray(sigmas))
+        else:
+            raise NotImplementedError(f"sample_method {sample_method}")
+
+        unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
+        prediction_type = cfg.prediction_type
+
+        def sample_fn(params, token_ids, init_noise, noise_key, guidance_scale):
+            # --- text encoding: (2B, 77) [uncond; cond] → (2B, 77, D) ---
+            text_states = text_encoder.apply(
+                {"params": params["text_encoder"]}, token_ids
+            ).astype(dtype)
+
+            latents = init_noise * init_sigma
+
+            def unet_eps(x, t_scalar, model_input_scale=None):
+                """CFG-doubled UNet evaluation → guided prediction."""
+                xin = jnp.concatenate([x, x], axis=0).astype(dtype)
+                if model_input_scale is not None:
+                    xin = xin * model_input_scale
+                t = jnp.broadcast_to(t_scalar, (2 * batch,))
+                pred = unet.apply(
+                    {"params": params["unet"]}, xin, t, text_states
+                ).astype(jnp.float32)
+                return classifier_free_guidance(pred, guidance_scale)
+
+            if sample_method in ("ddpm", "ddim"):
+                ts_arr, pts_arr = extras
+
+                def body(carry, tp):
+                    x, key = carry
+                    t, pt = tp
+                    eps = unet_eps(x, t)
+                    if sample_method == "ddpm":
+                        key, sub = jax.random.split(key)
+                        noise = jax.random.normal(sub, x.shape, dtype=jnp.float32)
+                        x = ddpm_step(
+                            schedule, x, eps, t, pt, noise,
+                            prediction_type=prediction_type,
+                        )
+                    else:
+                        x = ddim_step(
+                            schedule, x, eps, t, pt,
+                            prediction_type=prediction_type, eta=0.0,
+                        )
+                    return (x, key), None
+
+                (latents, _), _ = jax.lax.scan(
+                    body, (latents.astype(jnp.float32), noise_key), (ts_arr, pts_arr)
+                )
+            else:  # eulerdiscrete
+                ts_arr, sigmas_arr = extras
+
+                def body(x, inp):
+                    t, sigma, sigma_next = inp
+                    scale = (1.0 / jnp.sqrt(sigma**2 + 1.0)).astype(dtype)
+                    eps = unet_eps(x, t, model_input_scale=scale)
+                    x = euler_step(x, eps, sigma, sigma_next, prediction_type=prediction_type)
+                    return x, None
+
+                latents, _ = jax.lax.scan(
+                    body,
+                    latents.astype(jnp.float32),
+                    (ts_arr, sigmas_arr[:-1], sigmas_arr[1:]),
+                )
+
+            # --- VAE decode, frames folded into batch
+            # (reference decodes per frame: pipeline_videogen.py:422-429) ---
+            z = (latents / scaling).astype(dtype)
+            z2d = z.reshape((batch * video_length, lat_h, lat_w, lat_c))
+
+            if decode_chunk and decode_chunk < batch * video_length:
+                n = batch * video_length
+                chunks = [
+                    vae.apply(
+                        {"params": params["vae"]},
+                        jax.lax.dynamic_slice_in_dim(z2d, i, decode_chunk, 0),
+                        method=AutoencoderKL.decode,
+                    )
+                    for i in range(0, n, decode_chunk)
+                ]
+                rgb = jnp.concatenate(chunks, axis=0)
+            else:
+                rgb = vae.apply({"params": params["vae"]}, z2d, method=AutoencoderKL.decode)
+
+            rgb = rgb.astype(jnp.float32)
+            video = rgb.reshape(batch, video_length, height, width, 3)
+            video = jnp.clip(video / 2.0 + 0.5, 0.0, 1.0)
+            return jnp.round(video * 255.0).astype(jnp.uint8)
+
+        return jax.jit(sample_fn)
+
+    # ------------------------------------------------------------------
+    # public API (reference surface: VideoGenPipeline.__call__,
+    # reference: base/pipelines/pipeline_videogen.py:512-695)
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        prompt,
+        video_length: Optional[int] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        negative_prompt: str = "",
+        sample_method: Optional[str] = None,
+        seed: Optional[int] = 0,
+        latents: Optional[np.ndarray] = None,
+        decode_chunk: int = 0,
+    ) -> PipelineOutput:
+        cfg = self.sampling
+        video_length = video_length or cfg.video_length
+        height = height or cfg.height
+        width = width or cfg.width
+        steps = num_inference_steps or cfg.num_inference_steps
+        guidance = guidance_scale if guidance_scale is not None else cfg.guidance_scale
+        method = sample_method or cfg.sample_method
+
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        batch = len(prompts)
+        # [uncond; cond] token batch — uncond first so CFG splits cleanly
+        token_ids = jnp.asarray(
+            np.concatenate(
+                [self.tokenizer([negative_prompt] * batch), self.tokenizer(prompts)], axis=0
+            )
+        )
+
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
+        lat_key, noise_key = jax.random.split(key)
+        f = self.vae_config.downscale_factor
+        shape = (batch, video_length, height // f, width // f, self.unet_config.in_channels)
+        if latents is None:
+            init_noise = jax.random.normal(lat_key, shape, dtype=jnp.float32)
+        else:
+            # injected latents for per-seed parity with the reference
+            # (reference accepts `latents`: pipeline_videogen.py:503-506)
+            init_noise = jnp.asarray(latents, dtype=jnp.float32).reshape(shape)
+
+        cache_key = (batch, video_length, height, width, steps, method, decode_chunk)
+        if cache_key not in self._compiled:
+            self._compiled[cache_key] = self._build_sampler(
+                batch, video_length, height, width, steps, method, cfg.eta, decode_chunk
+            )
+        video = self._compiled[cache_key](
+            self.params, token_ids, init_noise, noise_key, jnp.float32(guidance)
+        )
+        return PipelineOutput(video=np.asarray(video))

@@ -1,12 +1,14 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
 multi-chip sharding paths are exercised without TPU hardware.
 
-Must set the env vars before jax is first imported anywhere.
+Note: this environment's sitecustomize registers the 'axon' TPU platform and
+sets jax_platforms programmatically, so the JAX_PLATFORMS env var alone is NOT
+enough — we must override the config after import (before any computation).
+XLA_FLAGS must still be set before the CPU backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the tiny-UNet jit compiles dominate test time
+# on CPU; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, jax.devices()

@@ -1,0 +1,195 @@
+"""Module-level tests: embeddings against closed-form math, attention modules
+against a numpy oracle, UNet shape/zero-init properties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lavie_tpu.core.config import UNetConfig
+from lavie_tpu.nn.embeddings import (
+    apply_rope,
+    relative_position_buckets,
+    rope_frequencies,
+    sinusoidal_timestep_embedding,
+)
+from lavie_tpu.nn.attention import Attention, SparseCausalAttention, TemporalAttention
+from lavie_tpu.nn.transformer import BasicTransformerBlock, Transformer3D
+from lavie_tpu.nn.unet import UNet3D
+
+
+class TestEmbeddings:
+    def test_sinusoid_shape_and_values(self):
+        t = jnp.array([0, 10])
+        emb = sinusoidal_timestep_embedding(t, 320)
+        assert emb.shape == (2, 320)
+        # t=0: cos part 1, sin part 0 (flip_sin_to_cos puts cos first)
+        np.testing.assert_allclose(np.asarray(emb[0, :160]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(emb[0, 160:]), 0.0, atol=1e-6)
+        # frequency 0 is period 2π·1: emb[1, 160] == sin(10·1)
+        assert float(emb[1, 160]) == pytest.approx(np.sin(10.0), abs=1e-5)
+
+    def test_rope_preserves_norm_and_rotates(self):
+        cos, sin = rope_frequencies(8, 4)
+        assert cos.shape == (8, 4)
+        x = np.random.RandomState(0).randn(2, 8, 1, 16).astype(np.float32)
+        out = apply_rope(jnp.asarray(x), jnp.asarray(cos)[:, None, :], jnp.asarray(sin)[:, None, :])
+        out = np.asarray(out)
+        # pass-through channels untouched
+        np.testing.assert_allclose(out[..., 4:], x[..., 4:], atol=1e-6)
+        # rotation preserves pairwise norms
+        n_in = x[..., 0] ** 2 + x[..., 1] ** 2
+        n_out = out[..., 0] ** 2 + out[..., 1] ** 2
+        np.testing.assert_allclose(n_in, n_out, rtol=1e-5)
+        # position 0: no rotation
+        np.testing.assert_allclose(out[:, 0], x[:, 0], atol=1e-6)
+
+    def test_relative_buckets_structure(self):
+        b = relative_position_buckets(16, 32, 32)
+        # diagonal (distance 0) is bucket 0
+        assert np.all(np.diag(b) == 0)
+        # future positions (k > q → rel > 0 → n < 0) get the upper half
+        assert b[0, 1] >= 16
+        # past positions stay in lower half, exact for small distances
+        assert b[1, 0] == 1 and b[4, 0] == 4
+        assert b.max() < 32
+        # symmetric structure: bucket(q,k) with distance d has fixed value
+        assert b[5, 2] == b[10, 7]
+
+
+class TestAttentionModules:
+    def test_self_attention_matches_numpy_oracle(self):
+        m = Attention(query_dim=16, heads=2, head_dim=8)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 16), dtype=jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(params, x)
+        # numpy oracle
+        p = params["params"]
+        q = np.asarray(x) @ np.asarray(p["to_q"]["kernel"])
+        k = np.asarray(x) @ np.asarray(p["to_k"]["kernel"])
+        v = np.asarray(x) @ np.asarray(p["to_v"]["kernel"])
+        B, S, _ = q.shape
+        q = q.reshape(B, S, 2, 8).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, 2, 8).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, 2, 8).transpose(0, 2, 1, 3)
+        s = q @ k.transpose(0, 1, 3, 2) / np.sqrt(8)
+        s = np.exp(s - s.max(-1, keepdims=True))
+        s = s / s.sum(-1, keepdims=True)
+        o = (s @ v).transpose(0, 2, 1, 3).reshape(B, S, 16)
+        o = o @ np.asarray(p["to_out_0"]["kernel"]) + np.asarray(p["to_out_0"]["bias"])
+        np.testing.assert_allclose(np.asarray(out), o, atol=1e-5)
+
+    def test_cross_attention_kv_from_context(self):
+        m = Attention(query_dim=16, heads=2, head_dim=8, cross_attention_dim=12)
+        x = jnp.ones((1, 5, 16))
+        ctx = jnp.ones((1, 7, 12))
+        params = m.init(jax.random.PRNGKey(0), x, ctx)
+        assert params["params"]["to_k"]["kernel"].shape == (12, 16)
+        out = m.apply(params, x, ctx)
+        assert out.shape == (1, 5, 16)
+
+    def test_temporal_attention_zero_init_out(self):
+        m = TemporalAttention(query_dim=16, heads=2, head_dim=8, rope_dim=4)
+        x = jnp.asarray(np.random.RandomState(0).randn(3, 6, 16), dtype=jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(params, x)
+        # zero-init out projection → output is exactly the bias (zeros)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=0)
+        assert out.shape == x.shape
+
+    def test_temporal_attention_learned_relpos_runs(self):
+        m = TemporalAttention(
+            query_dim=16, heads=2, head_dim=8, variant="learned_relpos"
+        )
+        x = jnp.asarray(np.random.RandomState(0).randn(3, 6, 16), dtype=jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        assert params["params"]["distance_embedding"]["embedding"].shape == (63, 8)
+        out = m.apply(params, x)
+        assert out.shape == x.shape
+
+    def test_sparse_causal_frame_anchoring(self):
+        """Frame i attends to frames {0, i-1} only: with frame-constant values,
+        output for frame i is a convex combo of v(frame 0) and v(frame i-1)."""
+        m = SparseCausalAttention(query_dim=8, heads=1, head_dim=8)
+        f, s = 4, 3
+        rng = np.random.RandomState(0)
+        x = np.repeat(rng.randn(f, 1, 8), s, axis=1).astype(np.float32)  # (f, s, 8)
+        x = jnp.asarray(x)  # batch=1 folded: (f, s, 8)
+        params = m.init(jax.random.PRNGKey(0), x, video_length=f)
+        out = np.asarray(m.apply(params, x, video_length=f))
+        # frame 1 sees {0, 0}: out rows for frame 1 must equal pure frame-0 value
+        kv0 = np.asarray(x[0]) @ np.asarray(params["params"]["to_v"]["kernel"])
+        proj = lambda y: y @ np.asarray(params["params"]["to_out_0"]["kernel"]) + np.asarray(
+            params["params"]["to_out_0"]["bias"]
+        )
+        np.testing.assert_allclose(out[1], proj(kv0), atol=1e-5)
+
+
+class TestTransformerBlock:
+    def test_block_shapes(self):
+        m = BasicTransformerBlock(
+            dim=16, heads=2, head_dim=8, cross_attention_dim=12, rope_dim=4
+        )
+        x = jnp.ones((4, 6, 16))  # (B·F, S, C) with F=2
+        ctx = jnp.ones((4, 7, 12))
+        params = m.init(jax.random.PRNGKey(0), x, ctx, video_length=2)
+        out = m.apply(params, x, ctx, video_length=2)
+        assert out.shape == x.shape
+
+    def test_transformer3d_residual(self):
+        m = Transformer3D(
+            in_channels=16, heads=2, head_dim=8, cross_attention_dim=12,
+            norm_num_groups=4, rope_dim=4,
+        )
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 4, 4, 16), dtype=jnp.float32)
+        ctx = jnp.ones((1, 7, 12))
+        params = m.init(jax.random.PRNGKey(0), x, ctx)
+        out = m.apply(params, x, ctx)
+        assert out.shape == x.shape
+
+
+class TestUNet:
+    def test_base_unet_tiny_forward(self):
+        cfg = UNetConfig.base_t2v().tiny()
+        model = UNet3D(config=cfg)
+        x = jnp.ones((1, 2, 16, 16, 4))
+        t = jnp.array([981])
+        ctx = jnp.ones((1, 7, cfg.cross_attention_dim))
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+        out = model.apply(params, x, t, ctx)
+        assert out.shape == (1, 2, 16, 16, 4)
+
+    def test_interpolation_unet_tiny_forward(self):
+        cfg = UNetConfig.interpolation().tiny()
+        assert cfg.in_channels == 8
+        model = UNet3D(config=cfg)
+        x = jnp.ones((1, 4, 16, 16, 8))
+        t = jnp.array([500])
+        ctx = jnp.ones((1, 7, cfg.cross_attention_dim))
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+        out = model.apply(params, x, t, ctx)
+        assert out.shape == (1, 4, 16, 16, 4)
+
+    def test_unet_jit_compiles_once(self):
+        cfg = UNetConfig.base_t2v().tiny()
+        model = UNet3D(config=cfg)
+        x = jnp.ones((1, 2, 16, 16, 4))
+        t = jnp.array([1])
+        ctx = jnp.ones((1, 7, cfg.cross_attention_dim))
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+        fn = jax.jit(lambda p, x, t, c: model.apply(p, x, t, c))
+        out1 = fn(params, x, t, ctx)
+        out2 = fn(params, x * 2, t, ctx)
+        assert out1.shape == out2.shape
+
+    def test_unet_bf16_activations(self):
+        cfg = UNetConfig.base_t2v().tiny()
+        model = UNet3D(config=cfg, dtype=jnp.bfloat16)
+        x = jnp.ones((1, 2, 16, 16, 4), dtype=jnp.bfloat16)
+        t = jnp.array([1])
+        ctx = jnp.ones((1, 7, cfg.cross_attention_dim), dtype=jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+        out = model.apply(params, x, t, ctx)
+        assert out.dtype == jnp.bfloat16
+        # params stay fp32
+        assert params["params"]["conv_in"]["conv"]["kernel"].dtype == jnp.float32

@@ -1,0 +1,48 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The reference's distributed story is NCCL DDP for training only
+(reference: interpolation/utils.py:210-247); here sharding is declarative:
+(dp, sp, tp) mesh + NamedSharding, XLA inserts the collectives.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lavie_tpu.core.config import UNetConfig
+from lavie_tpu.core.mesh import make_mesh, shard_batch_frames
+from lavie_tpu.nn.unet import UNet3D
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh(jax.devices(), dp=2, sp=2, tp=2)
+
+
+class TestShardedForward:
+    def test_frame_sharded_unet_matches_replicated(self, mesh):
+        """The sharded forward must be numerically identical (fp32) to the
+        single-device result — sharding is layout, not math."""
+        cfg = UNetConfig.base_t2v().tiny()
+        model = UNet3D(config=cfg)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 16, 16, 4), jnp.float32)
+        ctx = jnp.asarray(np.random.RandomState(1).randn(2, 7, cfg.cross_attention_dim), jnp.float32)
+        t = jnp.array([500, 500])
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+
+        ref = model.apply(params, x, t, ctx)
+
+        xs = jax.device_put(x, shard_batch_frames(mesh))
+        ctx_s = jax.device_put(ctx, NamedSharding(mesh, P("dp")))
+        fn = jax.jit(lambda p, x, t, c: model.apply(p, x, t, c))
+        out = fn(params, xs, t, ctx_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_dryrun_multichip_entry(self):
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multichip(8)
