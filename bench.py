@@ -19,8 +19,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the axon tunnel compiles large programs slowly;
+# cache so repeat bench runs (and the driver's end-of-round run) are warm
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.lavie_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 # Round-1 pinned value (frames/s on one v5e chip); later rounds compare to it.
-ROUND1_BASELINE_FPS = None  # set after first real-chip measurement
+ROUND1_BASELINE_FPS = 1.1506
 
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
@@ -81,22 +86,26 @@ def main():
     ts = jnp.asarray(ddpm_timesteps(STEPS))
     pts = jnp.asarray(prev_timesteps(np.asarray(ts)))
 
+    # One denoise step as its own jit; the Python loop dispatches STEPS times.
+    # (A lax.scan over all steps is the deployment shape, but the axon
+    # remote-compile service chokes on the scanned 909M-param program; the
+    # per-step dispatch overhead is negligible vs ~1s/step of UNet compute.)
     @jax.jit
-    def denoise(params, x, text_states, key):
-        def body(carry, tp):
-            x, key = carry
-            t, pt = tp
-            xin = jnp.concatenate([x, x], axis=0).astype(dtype)
-            pred = unet.apply(
-                {"params": params}, xin, jnp.broadcast_to(t, (2,)), text_states
-            ).astype(jnp.float32)
-            eps = classifier_free_guidance(pred, 7.5)
-            key, sub = jax.random.split(key)
-            noise = jax.random.normal(sub, x.shape, dtype=jnp.float32)
-            x = ddpm_step(schedule, x, eps, t, pt, noise)
-            return (x, key), None
+    def denoise_step(params, x, text_states, t, pt, key):
+        xin = jnp.concatenate([x, x], axis=0).astype(dtype)
+        pred = unet.apply(
+            {"params": params}, xin, jnp.broadcast_to(t, (2,)), text_states
+        ).astype(jnp.float32)
+        eps = classifier_free_guidance(pred, 7.5)
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, x.shape, dtype=jnp.float32)
+        x = ddpm_step(schedule, x, eps, t, pt, noise)
+        return x, key
 
-        (x, _), _ = jax.lax.scan(body, (x.astype(jnp.float32), key), (ts, pts))
+    def denoise(params, x, text_states, key):
+        x = x.astype(jnp.float32)
+        for i in range(STEPS):
+            x, key = denoise_step(params, x, text_states, ts[i], pts[i], key)
         return x
 
     @jax.jit

@@ -110,11 +110,24 @@ class UNetConfig:
     @classmethod
     def vsr(cls) -> "UNetConfig":
         """x4-upscaler UNet inflated to video: 7 input channels (4 latent +
-        3 low-res RGB), noise-level class embedding, temporal modules
-        (reference: vsr/configs/unet_3d_config.json, vsr/models/unet.py:102-340)."""
+        3 low-res RGB), noise-level class embedding, temporal modules after
+        every block (reference: vsr/configs/unet_3d_config.json,
+        vsr/models/unet.py:102-340)."""
         return cls(
             in_channels=7,
             block_out_channels=(256, 512, 512, 1024),
+            down_block_types=(
+                "DownBlock3D",
+                "CrossAttnDownBlock3D",
+                "CrossAttnDownBlock3D",
+                "CrossAttnDownBlock3D",
+            ),
+            up_block_types=(
+                "CrossAttnUpBlock3D",
+                "CrossAttnUpBlock3D",
+                "CrossAttnUpBlock3D",
+                "UpBlock3D",
+            ),
             cross_attention_dim=1024,
             only_cross_attention=(True, True, True, False),
             use_linear_projection=True,

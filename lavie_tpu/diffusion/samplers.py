@@ -65,6 +65,35 @@ def vsr_ddim_timesteps(
     return ts.astype(np.int32)
 
 
+def spaced_timesteps(
+    num_inference_steps: int, num_train_timesteps: int = 1000
+) -> Tuple[np.ndarray, np.ndarray]:
+    """OpenAI `space_timesteps` fractional striding (single section), as used
+    by the interpolation stage's SpacedDiffusion
+    (reference: interpolation/diffusion/respace.py:65-116): kept steps are
+    round(k·(T-1)/(n-1)). Returns (timesteps_desc, prev_timesteps_desc) where
+    prev[i] is the next kept step below (−1 for the last).
+
+    Because the spaced chain's alpha-bar table equals the original table at
+    the kept steps, a stepper indexing the full schedule at these (t, prev)
+    pairs is numerically identical to OpenAI's respaced DDIM.
+    """
+    if num_inference_steps <= 1:
+        frac = 1.0
+    else:
+        frac = (num_train_timesteps - 1) / (num_inference_steps - 1)
+    # replicate the reference's accumulation + python round() exactly
+    kept_list = []
+    cur = 0.0
+    for _ in range(num_inference_steps):
+        kept_list.append(int(round(cur)))
+        cur += frac
+    kept = np.array(sorted(set(kept_list)), dtype=np.int64)
+    ts_desc = kept[::-1].astype(np.int32)
+    prev_desc = np.concatenate([kept[:-1][::-1], [-1]]).astype(np.int32)
+    return ts_desc, prev_desc
+
+
 def prev_timesteps(timesteps: np.ndarray, num_train_timesteps: int = 1000) -> np.ndarray:
     """t_prev for each t: t - T/n; the final entry goes negative, which the
     steppers map to alpha_bar = 1 (x0)."""

@@ -33,7 +33,7 @@ TEMPORAL_MARKERS = (
     "norm_temp",
     "time_rel_pos_bias",
     "distance_embedding",
-    "temporal_modules",
+    "_temporal_block",
     "temp_",
 )
 

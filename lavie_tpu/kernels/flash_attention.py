@@ -1,0 +1,179 @@
+"""Pallas flash attention for TPU — the xformers-CUDA replacement.
+
+The reference offloads its O(S²)-memory attention to xformers'
+memory_efficient_attention CUDA kernels (reference:
+base/models/attention.py:284-291). On TPU the equivalent is this Pallas
+kernel: online-softmax tiling so the (S, S) score matrix never hits HBM —
+scores, running max/denominator and the output accumulator all live in VMEM.
+
+Targets the spatial self-attention (S = h·w up to 2560 tokens at base
+resolution). Cross-attention (77-token kv) and temporal attention (f ≤ 61,
+with additive bias) stay on the fused-XLA path — their score tiles are tiny
+and XLA handles them well.
+
+Layout: q/k/v are (BH, S, D) with D padded to a lane multiple (128) by the
+wrapper; fp32 accumulation throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, scale: float, kv_blocks: int,
+):
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]  # (blk_q, D)
+    k = k_ref[0]  # (blk_k, D)
+    v = v_ref[0]  # (blk_k, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale  # (blk_q, blk_k)
+
+    m_prev = m_scratch[:, 0:1]  # (blk_q, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+
+    p = jnp.exp(s - m_new)  # (blk_q, blk_k)
+    correction = jnp.exp(m_prev - m_new)  # (blk_q, 1)
+
+    l_prev = l_scratch[:, 0:1]
+    l_new = correction * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    acc = acc_scratch[:] * correction
+    acc = acc + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+    acc_scratch[:] = acc
+
+    @pl.when(kj == kv_blocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_scratch[:] / l_scratch[:, 0:1]).astype(o_ref.dtype)
+
+
+def _pick_block(seq: int, target: int = 512) -> int:
+    """Largest power-of-two block ≤ target that divides seq (≥ 128)."""
+    blk = target
+    while blk >= 128:
+        if seq % blk == 0:
+            return blk
+        blk //= 2
+    return 0
+
+
+def flash_supported_shape(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    seq_q, seq_k, d = q.shape[1], k.shape[1], q.shape[-1]
+    if seq_q != seq_k or seq_q < 512 or d > 256:
+        return False
+    return _pick_block(seq_q) >= 128
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_bhsd(q, k, v, scale):
+    """q/k/v: (BH, S, D_padded) → (BH, S, D_padded)."""
+    bh, seq, d = q.shape
+    blk_q = _pick_block(seq)
+    blk_k = blk_q
+    kv_blocks = seq // blk_k
+
+    grid = (bh, seq // blk_q, kv_blocks)
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, seq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, 128), jnp.float32),
+            pltpu.VMEM((blk_q, 128), jnp.float32),
+            pltpu.VMEM((blk_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v)
+
+
+def flash_attention(
+    q: jnp.ndarray,  # (B, S, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention over (B, S, H, D); D is zero-padded to a lane multiple
+    internally (zero k-columns don't change scores; padded v-columns are
+    sliced off)."""
+    assert bias is None, "flash path takes no bias (temporal attn stays XLA)"
+    b, s, h, d = q.shape
+    d_pad = ((d + 127) // 128) * 128
+
+    def to_bhsd(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        if d_pad != d:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, d_pad - d)))
+        return x
+
+    qb, kb, vb = to_bhsd(q), to_bhsd(k), to_bhsd(v)
+    if interpret:
+        out = _flash_bhsd_interpret(qb, kb, vb, scale)
+    else:
+        out = _flash_bhsd(qb, kb, vb, scale)
+    out = out[..., :d].reshape(b, h, s, d)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def _flash_bhsd_interpret(q, k, v, scale):
+    """Interpreter-mode version for CPU testing."""
+    bh, seq, d = q.shape
+    blk_q = _pick_block(seq)
+    blk_k = blk_q
+    kv_blocks = seq // blk_k
+    grid = (bh, seq // blk_q, kv_blocks)
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, seq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, 128), jnp.float32),
+            pltpu.VMEM((blk_q, 128), jnp.float32),
+            pltpu.VMEM((blk_q, d), jnp.float32),
+        ],
+        interpret=True,
+    )(q, k, v)

@@ -66,6 +66,7 @@ class InflatedConv(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     padding: Any = "SAME"
     use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -80,6 +81,7 @@ class InflatedConv(nn.Module):
             strides=self.strides,
             padding=self.padding,
             use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",

@@ -88,12 +88,15 @@ class Downsample3D(nn.Module):
 
 
 class ResnetBlock3DCNN(nn.Module):
-    """True temporal 3D-conv residual block — the VSR TemporalModule path
-    (reference: vsr/models/resnet.py:220-316, Conv3d kernel (k,1,1))."""
+    """True temporal 3D-conv residual block — the VSR TemporalModule path and
+    the repo's only genuine 3D convolutions
+    (reference: vsr/models/resnet.py:220-316): GN→SiLU→Conv3d(k,1,1)→(+temb)→
+    GN→SiLU→Conv3d(3,1,1) with 1×1×1 shortcut."""
 
     in_channels: int
     out_channels: Optional[int] = None
     kernel_frames: int = 5
+    temb_channels: Optional[int] = None
     groups: int = 32
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
@@ -106,9 +109,12 @@ class ResnetBlock3DCNN(nn.Module):
         h = GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = TemporalConv(out_ch, self.kernel_frames, name="conv1", **common)(h)
+        if temb is not None and self.temb_channels is not None:
+            t = nn.Dense(out_ch, name="time_emb_proj", **common)(nn.silu(temb))
+            h = h + t[:, None, None, None, :]
         h = GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = TemporalConv(out_ch, self.kernel_frames, name="conv2", **common)(h)
+        h = TemporalConv(out_ch, 3, name="conv2", **common)(h)
         if self.in_channels != out_ch:
-            x = InflatedConv(out_ch, (1, 1), name="conv_shortcut", **common)(x)
+            x = TemporalConv(out_ch, 1, name="conv_shortcut", **common)(x)
         return x + h

@@ -1,0 +1,64 @@
+"""VSR temporal adapter modules.
+
+TemporalModule3D (reference: vsr/models/temporal_module.py:65-178) is a
+residual temporal block inserted after every down/mid/up UNet block: a true
+3D temporal-conv resnet (kernel (5,1,1)) → a spatial resnet → a ZERO-INIT 1×1
+shift conv added back to the input, so at init the module is a no-op over the
+pretrained 2D upsampler.
+
+The shipped VSR config disables the optional attention/warp branches
+(`attention_block_types: ["", ""]`, reference: vsr/configs/unet_3d_config.json:52-55)
+— this implements the live CNN path; the VersatileSelfAttention / WarpModule
+variants are documented stretch goals (SURVEY §7 non-goals).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lavie_tpu.nn.layers import InflatedConv
+from lavie_tpu.nn.resnet import ResnetBlock3D, ResnetBlock3DCNN
+
+Dtype = Any
+
+
+class TemporalModule3D(nn.Module):
+    channels: int
+    temb_channels: int
+    norm_num_groups: int = 32
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray]) -> jnp.ndarray:
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = ResnetBlock3DCNN(
+            in_channels=self.channels,
+            out_channels=self.channels,
+            kernel_frames=5,
+            temb_channels=self.temb_channels,
+            groups=self.norm_num_groups,
+            name="resblocks_3d_t",
+            **common,
+        )(x, temb)
+        h = ResnetBlock3D(
+            in_channels=self.channels,
+            out_channels=self.channels,
+            temb_channels=self.temb_channels,
+            groups=self.norm_num_groups,
+            name="resblocks_3d_s",
+            **common,
+        )(h, temb)
+        # zero-init shift conv: residual is a no-op at init
+        h = InflatedConv(
+            self.channels,
+            (1, 1),
+            kernel_init=nn.initializers.zeros,
+            name="shift_conv",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(h)
+        return x + h

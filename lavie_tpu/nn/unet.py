@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from lavie_tpu.core.config import UNetConfig
 from lavie_tpu.nn.layers import GroupNorm, InflatedConv, TimestepEmbedding
 from lavie_tpu.nn.resnet import Downsample3D, ResnetBlock3D, Upsample3D
+from lavie_tpu.nn.temporal_module import TemporalModule3D
 from lavie_tpu.nn.transformer import Transformer3D
 
 Dtype = Any
@@ -357,6 +358,24 @@ class UNet3D(nn.Module):
             config=cfg, in_channels=boc[-1], **common
         )
 
+        # VSR temporal adapters after every down/mid/up block
+        # (reference: vsr/models/unet.py:239-247, 270-276, 325-332)
+        if cfg.use_temporal_modules:
+            tm = lambda ch: TemporalModule3D(
+                channels=ch,
+                temb_channels=cfg.time_embed_dim,
+                norm_num_groups=cfg.norm_num_groups,
+                **common,
+            )
+            self.down_temporal_blocks = [tm(boc[i]) for i in range(len(cfg.down_block_types))]
+            self.mid_temporal_block = tm(boc[-1])
+            rev = list(reversed(boc))
+            self.up_temporal_blocks = [tm(rev[i]) for i in range(len(cfg.up_block_types))]
+        else:
+            self.down_temporal_blocks = None
+            self.mid_temporal_block = None
+            self.up_temporal_blocks = None
+
         rev_boc = list(reversed(boc))
         rev_oca = list(reversed(oca))
         up_blocks = []
@@ -422,24 +441,30 @@ class UNet3D(nn.Module):
 
         # down
         res_stack = [sample]
-        for block in self.down_blocks:
+        for i, block in enumerate(self.down_blocks):
             if isinstance(block, CrossAttnDownBlock3D):
                 sample, res = block(sample, emb, encoder_hidden_states)
             else:
                 sample, res = block(sample, emb)
             res_stack.extend(res)
+            if self.down_temporal_blocks is not None:
+                sample = self.down_temporal_blocks[i](sample, emb)
 
         # mid
         sample = self.mid_block(sample, emb, encoder_hidden_states)
+        if self.mid_temporal_block is not None:
+            sample = self.mid_temporal_block(sample, emb)
 
         # up
-        for block in self.up_blocks:
+        for i, block in enumerate(self.up_blocks):
             n = len(block.resnets)
             res, res_stack = res_stack[-n:], res_stack[:-n]
             if isinstance(block, CrossAttnUpBlock3D):
                 sample = block(sample, list(res), emb, encoder_hidden_states)
             else:
                 sample = block(sample, list(res), emb)
+            if self.up_temporal_blocks is not None:
+                sample = self.up_temporal_blocks[i](sample, emb)
 
         sample = self.conv_norm_out(sample)
         sample = nn.silu(sample)

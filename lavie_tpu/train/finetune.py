@@ -1,0 +1,269 @@
+"""Image-conditioned LoRA fine-tuning — the fork's research layer.
+
+Re-implements the reference training loop (reference:
+base/pipelines/fine_tuning.py:228-712) TPU-natively: the whole step — VAE
+encode, CLIP text+vision encode, MappingNetwork, LoRA-merged UNet, diffusion
+MSE with min-SNR-γ weighting plus the 0.2× cosine alignment loss with
+in-batch negatives, gradient clipping and the optimizer update — is ONE
+jitted program; data parallelism comes from sharding the batch over the mesh
+(XLA inserts the gradient all-reduces the reference got from
+Accelerate/NCCL).
+
+Gradient accumulation uses optax.MultiSteps (reference: grad_accumulation
+fine_tuning.py:469); checkpoints rotate keeping the newest 3 (reference:
+:666-684); resume scans for the latest checkpoint dir (reference: :415-439).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lavie_tpu.core.config import CLIPTextConfig, UNetConfig, VAEConfig
+from lavie_tpu.diffusion import NoiseSchedule, add_noise, get_velocity
+from lavie_tpu.nn.clip import CLIPTextModel, CLIPVisionModel
+from lavie_tpu.nn.mapping import MappingNetwork
+from lavie_tpu.nn.unet import UNet3D
+from lavie_tpu.nn.vae import AutoencoderKL
+from lavie_tpu.train.lora import lora_init, lora_merge
+from lavie_tpu.train.step import min_snr_weight
+
+
+@flax.struct.dataclass
+class FinetuneState:
+    step: jnp.ndarray
+    lora: Any          # trainable: UNet LoRA adapters
+    mapper: Any        # trainable: MappingNetwork params
+    opt_state: Any
+
+    def trainables(self) -> Dict[str, Any]:
+        return {"lora": self.lora, "mapper": self.mapper}
+
+
+@dataclasses.dataclass
+class FinetuneConfig:
+    lora_rank: int = 16
+    lora_alpha: int = 16
+    learning_rate: float = 1e-4
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_weight_decay: float = 1e-2
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    gradient_accumulation_steps: int = 1
+    min_snr_gamma: Optional[float] = 5.0
+    alignment_loss_weight: float = 0.2
+    prediction_type: str = "epsilon"
+    checkpointing_steps: int = 504
+    checkpoints_total_limit: int = 3
+
+
+class LoRAFinetuner:
+    """Owns the frozen models + trainable (LoRA, mapper) state and the jitted
+    train step."""
+
+    def __init__(
+        self,
+        unet: UNet3D,
+        vae: AutoencoderKL,
+        text_encoder: CLIPTextModel,
+        vision_encoder: CLIPVisionModel,
+        mapping: MappingNetwork,
+        frozen_params: Dict[str, Any],
+        config: FinetuneConfig = FinetuneConfig(),
+        schedule: Optional[NoiseSchedule] = None,
+    ):
+        self.unet = unet
+        self.vae = vae
+        self.text_encoder = text_encoder
+        self.vision_encoder = vision_encoder
+        self.mapping = mapping
+        self.frozen = frozen_params
+        self.cfg = config
+        self.schedule = schedule or NoiseSchedule.create()
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adamw(
+                config.learning_rate,
+                b1=config.adam_beta1,
+                b2=config.adam_beta2,
+                eps=config.adam_epsilon,
+                weight_decay=config.adam_weight_decay,
+            ),
+        )
+        if config.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
+        self.tx = tx
+        self._step_fn = None
+
+    def init_state(self, rng: jax.Array, mapper_params: Dict[str, Any]) -> FinetuneState:
+        lora = lora_init(rng, self.frozen["unet"], rank=self.cfg.lora_rank)
+        trainables = {"lora": lora, "mapper": mapper_params}
+        return FinetuneState(
+            step=jnp.zeros((), jnp.int32),
+            lora=lora,
+            mapper=mapper_params,
+            opt_state=self.tx.init(trainables),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _loss(self, trainables, frozen, batch, rng):
+        cfg = self.cfg
+        schedule = self.schedule
+        video = batch["video"]            # (B, F, H, W, 3) in [-1, 1]
+        token_ids = batch["token_ids"]    # (B, 77)
+        images = batch["cond_image"]      # (B, Hc, Wc, 3) CLIP-normalized
+
+        b, f, h, w, _ = video.shape
+        enc_key, t_key, n_key = jax.random.split(rng, 3)
+
+        # frozen encoders
+        mean, logvar = self.vae.apply(
+            {"params": frozen["vae"]}, video.reshape(b * f, h, w, 3),
+            method=AutoencoderKL.encode,
+        )
+        z = self.vae.apply(
+            {"params": frozen["vae"]}, mean, logvar, enc_key,
+            method=AutoencoderKL.sample_posterior,
+        )
+        scaling = 0.18215
+        latents = (z.astype(jnp.float32) * scaling).reshape(b, f, h // 8, w // 8, -1)
+
+        text_states = self.text_encoder.apply(
+            {"params": frozen["text_encoder"]}, token_ids
+        )
+        image_states = self.vision_encoder.apply(
+            {"params": frozen["vision_encoder"]}, images
+        )
+
+        # trainable mapper: image tokens → text space, concat onto text states
+        # (reference: inference.py:295-306, fine_tuning.py:506-556)
+        mapped = self.mapping.apply(
+            {"params": trainables["mapper"]}, image_states, text_states
+        )
+        cond = jnp.concatenate([text_states, mapped], axis=1)
+
+        # diffusion MSE through the LoRA-merged UNet
+        t = jax.random.randint(t_key, (b,), 0, schedule.num_train_timesteps)
+        noise = jax.random.normal(n_key, latents.shape, dtype=jnp.float32)
+        noisy = add_noise(schedule, latents, noise, t)
+        target = (
+            noise if cfg.prediction_type == "epsilon"
+            else get_velocity(schedule, latents, noise, t)
+        )
+        unet_params = lora_merge(
+            frozen["unet"], trainables["lora"], alpha=cfg.lora_alpha, rank=cfg.lora_rank
+        )
+        pred = self.unet.apply({"params": unet_params}, noisy, t, cond).astype(jnp.float32)
+        per_sample = jnp.mean((pred - target) ** 2, axis=(1, 2, 3, 4))
+        if cfg.min_snr_gamma is not None:
+            per_sample = per_sample * min_snr_weight(
+                schedule, t, cfg.min_snr_gamma, cfg.prediction_type
+            )
+        mse = jnp.mean(per_sample)
+
+        # alignment loss: ±cosine with in-batch negatives
+        # (reference: fine_tuning.py:536-554, 594-603)
+        align = alignment_loss(mapped, text_states)
+        return mse + cfg.alignment_loss_weight * align, (mse, align)
+
+    def make_step(self) -> Callable:
+        def step(state: FinetuneState, frozen, batch, rng):
+            (loss, (mse, align)), grads = jax.value_and_grad(
+                self._loss, has_aux=True
+            )(state.trainables(), frozen, batch, rng)
+            updates, opt_state = self.tx.update(
+                grads, state.opt_state, state.trainables()
+            )
+            new = optax.apply_updates(state.trainables(), updates)
+            return (
+                FinetuneState(
+                    step=state.step + 1,
+                    lora=new["lora"],
+                    mapper=new["mapper"],
+                    opt_state=opt_state,
+                ),
+                {"loss": loss, "mse": mse, "align": align},
+            )
+
+        return step
+
+    def jitted_step(self) -> Callable:
+        if self._step_fn is None:
+            self._step_fn = jax.jit(self.make_step())
+        return self._step_fn
+
+    # ------------------------------------------------------------------
+    # checkpoint rotation / resume (reference: fine_tuning.py:415-439, 666-701)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, out_dir: str, state: FinetuneState) -> str:
+        from lavie_tpu.io.checkpoints import save_orbax
+
+        step = int(state.step)
+        path = os.path.join(out_dir, f"checkpoint-{step}")
+        save_orbax(path, {"lora": state.lora, "mapper": state.mapper,
+                          "opt_state": state.opt_state, "step": np.asarray(step)})
+        # rotate: keep the newest `checkpoints_total_limit`
+        ckpts = sorted(
+            (d for d in os.listdir(out_dir) if d.startswith("checkpoint-")),
+            key=lambda d: int(d.split("-")[1]),
+        )
+        for old in ckpts[: -self.cfg.checkpoints_total_limit]:
+            shutil.rmtree(os.path.join(out_dir, old), ignore_errors=True)
+        return path
+
+    def load_latest_checkpoint(self, out_dir: str, state: FinetuneState) -> Tuple[FinetuneState, bool]:
+        from lavie_tpu.io.checkpoints import load_orbax
+
+        if not os.path.isdir(out_dir):
+            return state, False
+        ckpts = sorted(
+            (d for d in os.listdir(out_dir) if d.startswith("checkpoint-")),
+            key=lambda d: int(d.split("-")[1]),
+        )
+        if not ckpts:
+            return state, False
+        restored = load_orbax(
+            os.path.join(out_dir, ckpts[-1]),
+            like={"lora": state.lora, "mapper": state.mapper,
+                  "opt_state": state.opt_state, "step": np.asarray(0)},
+        )
+        return (
+            FinetuneState(
+                step=jnp.asarray(restored["step"]),
+                lora=restored["lora"],
+                mapper=restored["mapper"],
+                opt_state=restored["opt_state"],
+            ),
+            True,
+        )
+
+
+def alignment_loss(mapped: jnp.ndarray, text_states: jnp.ndarray) -> jnp.ndarray:
+    """±CosineEmbedding with in-batch negatives over mean-pooled states:
+    pull mapped(image_i) toward text_i, push away from text_j
+    (reference: fine_tuning.py:536-554)."""
+    m = jnp.mean(mapped, axis=1)
+    t = jnp.mean(text_states, axis=1)
+    m = m / (jnp.linalg.norm(m, axis=-1, keepdims=True) + 1e-8)
+    t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-8)
+    sim = m @ t.T  # (B, B)
+    b = sim.shape[0]
+    eye = jnp.eye(b)
+    pos = jnp.sum((1.0 - sim) * eye) / b
+    if b > 1:
+        neg = jnp.sum(jnp.maximum(sim, 0.0) * (1 - eye)) / (b * (b - 1))
+    else:
+        neg = 0.0
+    return pos + neg

@@ -1,0 +1,126 @@
+"""Data pipeline and eval-metric tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lavie_tpu.data import DataLoader, MSRVTTDataset, UCF101Dataset, VideoFolderDataset
+from lavie_tpu.data import transforms as T
+from lavie_tpu.eval import compute_fvd, frechet_distance
+from lavie_tpu.eval.clipsim import CLIPSimilarityScorer, clip_preprocess
+from lavie_tpu.eval.fvd import FVDFeatureExtractor
+
+
+@pytest.fixture()
+def video_dir(tmp_path):
+    rng = np.random.RandomState(0)
+    for name in ("a_cat_jumping", "a_dog_running"):
+        np.save(tmp_path / f"{name}.npy", (rng.rand(10, 32, 48, 3) * 255).astype(np.uint8))
+    return str(tmp_path)
+
+
+class TestTransforms:
+    def test_resize_bilinear_identity(self):
+        v = np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32)
+        np.testing.assert_array_equal(T.resize_bilinear(v, (8, 8)), v)
+
+    def test_resize_bilinear_constant(self):
+        v = np.full((1, 7, 9, 3), 3.5, np.float32)
+        out = T.resize_bilinear(v, (5, 4))
+        np.testing.assert_allclose(out, 3.5, rtol=1e-6)
+        assert out.shape == (1, 5, 4, 3)
+
+    def test_temporal_crop_and_pad(self):
+        idx = T.temporal_crop_indices(100, 16, rng=np.random.RandomState(0))
+        assert len(idx) == 16 and idx.max() < 100
+        v = np.zeros((5, 2, 2, 3))
+        assert T.pad_or_truncate(v, 16).shape[0] == 16
+        assert T.pad_or_truncate(v, 3).shape[0] == 3
+
+
+class TestDatasets:
+    def test_video_folder(self, video_dir):
+        ds = VideoFolderDataset(video_dir, num_frames=4, size=(16, 16))
+        assert len(ds) == 2
+        s = ds[0]
+        assert s["video"].shape == (4, 16, 16, 3)
+        assert -1.01 <= s["video"].min() and s["video"].max() <= 1.01
+        assert s["caption"] == "a cat jumping"
+
+    def test_msrvtt_split_filtering(self, video_dir, tmp_path):
+        ann = {
+            "videos": [
+                {"video_id": "a_cat_jumping", "split": "train"},
+                {"video_id": "a_dog_running", "split": "test"},
+            ],
+            "sentences": [
+                {"video_id": "a_cat_jumping", "caption": "a cat"},
+                {"video_id": "a_dog_running", "caption": "a dog"},
+            ],
+        }
+        p = tmp_path / "ann.json"
+        p.write_text(json.dumps(ann))
+        ds = MSRVTTDataset(video_dir, str(p), split="train", num_frames=4, size=(16, 16))
+        assert len(ds) == 1
+        assert ds[0]["caption"] == "a cat"
+
+    def test_ucf_csv(self, video_dir, tmp_path):
+        csv_p = tmp_path / "test.csv"
+        csv_p.write_text("a_cat_jumping.npy,CatJumping\nmissing.npy,Nope\n")
+        ds = UCF101Dataset(video_dir, str(csv_p), num_frames=4, size=(16, 16))
+        assert len(ds) == 2
+        assert ds[0]["label"] == "CatJumping"
+        assert ds[1] is None  # missing file → None, filtered by loader
+
+    def test_loader_prefetch_and_filtering(self, video_dir, tmp_path):
+        csv_p = tmp_path / "test.csv"
+        csv_p.write_text("a_cat_jumping.npy,Cat\nmissing.npy,Nope\na_dog_running.npy,Dog\n")
+        ds = UCF101Dataset(video_dir, str(csv_p), num_frames=2, size=(8, 8))
+        dl = DataLoader(ds, batch_size=3, shuffle=False, num_workers=2, drop_last=False)
+        batches = list(dl)
+        assert len(batches) == 1
+        # the missing sample was dropped
+        assert batches[0]["video"].shape == (2, 2, 8, 8, 3)
+
+
+class TestFVD:
+    def test_frechet_identical_is_zero(self):
+        f = np.random.RandomState(0).randn(64, 8)
+        assert frechet_distance(f, f) == pytest.approx(0.0, abs=1e-6)
+
+    def test_frechet_orders_distributions(self):
+        rng = np.random.RandomState(0)
+        a = rng.randn(128, 4)
+        near = rng.randn(128, 4) + 0.1
+        far = rng.randn(128, 4) + 3.0
+        assert frechet_distance(a, near) < frechet_distance(a, far)
+
+    def test_compute_fvd_runs(self):
+        rng = np.random.RandomState(0)
+        real = (rng.rand(4, 4, 32, 32, 3) * 255).astype(np.uint8)
+        fake = (rng.rand(4, 4, 32, 32, 3) * 255).astype(np.uint8)
+        ext = FVDFeatureExtractor(num_frames=4, size=32)
+        val = compute_fvd(real, fake, extractor=ext)
+        assert np.isfinite(val) and val >= 0
+
+
+class TestCLIPSIM:
+    def test_scorer_contract(self):
+        from lavie_tpu.core.config import CLIPTextConfig
+        from lavie_tpu.nn.clip import CLIPVisionConfig
+
+        scorer = CLIPSimilarityScorer(
+            text_config=CLIPTextConfig.vit_l().tiny(),
+            vision_config=CLIPVisionConfig().tiny(),
+        )
+        video = (np.random.RandomState(0).rand(3, 32, 32, 3) * 255).astype(np.uint8)
+        s = scorer.score(video, "a cat")
+        assert -1.0 <= s <= 1.0
+
+    def test_preprocess_range(self):
+        v = (np.random.RandomState(0).rand(2, 40, 40, 3) * 255).astype(np.uint8)
+        out = clip_preprocess(v, 28)
+        assert out.shape == (2, 28, 28, 3)
+        assert np.abs(out).max() < 3.0

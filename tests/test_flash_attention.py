@@ -1,0 +1,61 @@
+"""Flash-attention kernel tests (interpreter mode on CPU) against the XLA
+reference implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lavie_tpu.kernels.attention import _xla_attention
+from lavie_tpu.kernels.flash_attention import (
+    _pick_block,
+    flash_attention,
+    flash_supported_shape,
+)
+
+
+class TestBlockSelection:
+    def test_pick_block(self):
+        assert _pick_block(2560) == 512
+        assert _pick_block(640) == 128
+        assert _pick_block(1024) == 512
+        assert _pick_block(100) == 0
+
+    def test_supported_shapes(self):
+        q = jnp.zeros((2, 2560, 8, 40))
+        k = jnp.zeros((2, 2560, 8, 40))
+        assert flash_supported_shape(q, k)
+        q77 = jnp.zeros((2, 77, 8, 40))
+        assert not flash_supported_shape(q77, q77)  # short seq
+        qx = jnp.zeros((2, 2560, 8, 40))
+        kx = jnp.zeros((2, 77, 8, 40))
+        assert not flash_supported_shape(qx, kx)  # cross
+
+
+class TestFlashMatchesXLA:
+    @pytest.mark.parametrize("d", [40, 128])
+    def test_matches_reference_fp32(self, d):
+        rng = np.random.RandomState(0)
+        b, s, h = 1, 512, 2
+        q = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+        scale = d**-0.5
+        ref = _xla_attention(q, k, v, None, scale)
+        out = flash_attention(q, k, v, scale=scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    def test_matches_reference_bf16(self):
+        rng = np.random.RandomState(1)
+        b, s, h, d = 1, 512, 2, 64
+        q = jnp.asarray(rng.randn(b, s, h, d), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(b, s, h, d), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(b, s, h, d), jnp.bfloat16)
+        scale = d**-0.5
+        ref = _xla_attention(q, k, v, None, scale)
+        out = flash_attention(q, k, v, scale=scale, interpret=True)
+        # bf16 tolerance
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.06
+        )
+        assert out.dtype == jnp.bfloat16

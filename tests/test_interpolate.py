@@ -1,0 +1,80 @@
+"""Interpolation (TSR) stage tests: spaced timesteps, copied-video
+conditioning indices, and the tiny end-to-end pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lavie_tpu.core.config import CLIPTextConfig, SamplingConfig, UNetConfig, VAEConfig
+from lavie_tpu.diffusion.samplers import spaced_timesteps
+from lavie_tpu.pipelines.interpolate import (
+    VideoInterpolationPipeline,
+    copied_video_indices,
+)
+
+
+class TestSpacedTimesteps:
+    def test_openai_fractional_striding(self):
+        ts, pts = spaced_timesteps(50, 1000)
+        assert len(ts) == 50
+        assert ts[0] == 999 and ts[-1] == 0
+        # frac stride 999/49 ≈ 20.387: second kept step is round(20.387) = 20,
+        # third round(40.77) = 41
+        kept = sorted(ts)
+        assert kept[1] == 20 and kept[2] == 41
+        # prev chain is ts shifted with -1 terminal
+        assert pts[-1] == -1
+        np.testing.assert_array_equal(pts[:-1], ts[1:])
+
+    def test_small_counts(self):
+        ts, pts = spaced_timesteps(4, 100)
+        assert ts[0] == 99 and ts[-1] == 0 and pts[-1] == -1
+
+
+class TestCopiedVideoIndices:
+    def test_61_frame_pattern(self):
+        idx = copied_video_indices(61)
+        assert len(idx) == 61
+        assert idx[0] == 0 and idx[-1] == 60
+        assert np.all(idx % 4 == 0)
+        assert np.all(np.diff(idx) >= 0)
+        # each slot's conditioning source is the nearest every-4th frame above
+        np.testing.assert_array_equal(idx, 4 * ((np.arange(61) + 1) // 4))
+
+    def test_13_frame_pattern(self):
+        idx = copied_video_indices(13)
+        assert len(idx) == 13
+        np.testing.assert_array_equal(idx, 4 * ((np.arange(13) + 1) // 4))
+
+
+@pytest.fixture(scope="module")
+def tiny_tsr():
+    return VideoInterpolationPipeline.init_random(
+        jax.random.PRNGKey(0),
+        unet_config=UNetConfig.interpolation().tiny(),
+        vae_config=VAEConfig.sd().tiny(),
+        text_config=CLIPTextConfig.vit_l().tiny(),
+        dtype=jnp.float32,
+    )
+
+
+class TestInterpolationPipeline:
+    def test_output_contract(self, tiny_tsr):
+        video_in = (np.random.RandomState(0).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+        out = tiny_tsr(video_in, "a horse", num_inference_steps=2, out_frames=13, seed=0)
+        assert out.video.shape == (1, 13, 64, 64, 3)
+        assert out.video.dtype == np.uint8
+
+    def test_deterministic(self, tiny_tsr):
+        video_in = (np.random.RandomState(1).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+        a = tiny_tsr(video_in, "x", num_inference_steps=2, out_frames=13, seed=3).video
+        b = tiny_tsr(video_in, "x", num_inference_steps=2, out_frames=13, seed=3).video
+        np.testing.assert_array_equal(a, b)
+
+    def test_conditioning_affects_output(self, tiny_tsr):
+        v1 = (np.random.RandomState(2).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+        v2 = (np.random.RandomState(3).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+        a = tiny_tsr(v1, "x", num_inference_steps=2, out_frames=13, seed=0).video
+        b = tiny_tsr(v2, "x", num_inference_steps=2, out_frames=13, seed=0).video
+        assert not np.array_equal(a, b)

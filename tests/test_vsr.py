@@ -1,0 +1,98 @@
+"""VSR stage tests: the temporally-augmented upscaler UNet, temporal modules,
+v-pred sampling, and the windowed pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lavie_tpu.core.config import CLIPTextConfig, UNetConfig, VAEConfig
+from lavie_tpu.nn.temporal_module import TemporalModule3D
+from lavie_tpu.nn.unet import UNet3D
+from lavie_tpu.pipelines import VideoSuperResolutionPipeline
+
+
+class TestTemporalModule:
+    def test_noop_at_init(self):
+        """Zero-init shift conv → the module is an identity at init,
+        preserving the pretrained 2D upsampler behavior
+        (reference: vsr/models/temporal_module.py:170-176)."""
+        m = TemporalModule3D(channels=16, temb_channels=32, norm_num_groups=4)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 3, 8, 8, 16), jnp.float32)
+        temb = jnp.ones((1, 32))
+        params = m.init(jax.random.PRNGKey(0), x, temb)
+        out = m.apply(params, x, temb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=0)
+
+    def test_temporal_mixing_when_nonzero(self):
+        """With a non-zero shift conv, a perturbation in frame j must reach
+        frame j±2 (kernel (5,1,1) 3D conv actually mixes frames)."""
+        m = TemporalModule3D(channels=16, temb_channels=32, norm_num_groups=4)
+        x = np.zeros((1, 5, 4, 4, 16), np.float32)
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.ones((1, 32)))
+        params = jax.tree.map(lambda v: jnp.ones_like(v) * 0.01, params)
+        base = np.asarray(m.apply(params, jnp.asarray(x), jnp.ones((1, 32))))
+        x2 = x.copy()
+        x2[:, 2] += 1.0
+        out = np.asarray(m.apply(params, jnp.asarray(x2), jnp.ones((1, 32))))
+        diff_frames = np.abs(out - base).sum(axis=(0, 2, 3, 4))
+        assert diff_frames[0] > 0 and diff_frames[4] > 0  # reaches ±2 frames
+
+
+class TestVSRUNet:
+    def test_vsr_unet_tiny_forward(self):
+        cfg = UNetConfig.vsr().tiny()
+        assert cfg.in_channels == 7 and cfg.use_temporal_modules
+        model = UNet3D(config=cfg)
+        x = jnp.ones((1, 2, 16, 16, 7))
+        ctx = jnp.ones((1, 7, cfg.cross_attention_dim))
+        nl = jnp.array([50])
+        params = model.init(jax.random.PRNGKey(0), x, jnp.array([10]), ctx, nl)
+        out = model.apply(params, x, jnp.array([10]), ctx, nl)
+        assert out.shape == (1, 2, 16, 16, 4)
+
+    def test_noise_level_changes_output(self):
+        cfg = UNetConfig.vsr().tiny()
+        model = UNet3D(config=cfg)
+        x = jnp.ones((1, 2, 16, 16, 7))
+        ctx = jnp.ones((1, 7, cfg.cross_attention_dim))
+        params = model.init(jax.random.PRNGKey(0), x, jnp.array([10]), ctx, jnp.array([50]))
+        a = model.apply(params, x, jnp.array([10]), ctx, jnp.array([50]))
+        b = model.apply(params, x, jnp.array([10]), ctx, jnp.array([300]))
+        assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_missing_class_labels_raises(self):
+        cfg = UNetConfig.vsr().tiny()
+        model = UNet3D(config=cfg)
+        x = jnp.ones((1, 2, 16, 16, 7))
+        ctx = jnp.ones((1, 7, cfg.cross_attention_dim))
+        with pytest.raises(AssertionError):
+            model.init(jax.random.PRNGKey(0), x, jnp.array([10]), ctx)
+
+
+@pytest.fixture(scope="module")
+def tiny_vsr():
+    return VideoSuperResolutionPipeline.init_random(
+        jax.random.PRNGKey(0),
+        unet_config=UNetConfig.vsr().tiny(),
+        vae_config=VAEConfig.vsr().tiny(),
+        text_config=CLIPTextConfig.open_clip_h().tiny(),
+        dtype=jnp.float32,
+        window=4,
+        decode_chunk=2,
+    )
+
+
+class TestVSRPipeline:
+    def test_upscales_4x_with_windowing(self, tiny_vsr):
+        video_in = (np.random.RandomState(0).rand(6, 32, 32, 3) * 255).astype(np.uint8)
+        out = tiny_vsr(video_in, "a cat", num_inference_steps=2, seed=0)
+        # 6 frames > window 4 → two windows, tail padded+trimmed
+        assert out.video.shape == (6, 128, 128, 3)
+        assert out.video.dtype == np.uint8
+
+    def test_deterministic(self, tiny_vsr):
+        video_in = (np.random.RandomState(1).rand(2, 32, 32, 3) * 255).astype(np.uint8)
+        a = tiny_vsr(video_in, "x", num_inference_steps=2, seed=5).video
+        b = tiny_vsr(video_in, "x", num_inference_steps=2, seed=5).video
+        np.testing.assert_array_equal(a, b)
