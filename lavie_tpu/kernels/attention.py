@@ -93,7 +93,11 @@ def _on_tpu() -> bool:
 def _flash_supported(q, k, bias) -> bool:
     """Flash kernel constraints: TPU backend, long-enough self-attention
     sequences to be worth tiling, no bias (small temporal attention keeps the
-    XLA path)."""
+    XLA path). Set LAVIE_DISABLE_FLASH=1 to force the XLA path (A/B benching)."""
+    import os
+
+    if os.environ.get("LAVIE_DISABLE_FLASH") == "1":
+        return False
     if not _on_tpu() or bias is not None:
         return False
     try:

@@ -121,7 +121,8 @@ class VideoInterpolationPipeline:
     # ------------------------------------------------------------------
 
     def _build_sampler(self, batch: int, out_frames: int, height: int, width: int,
-                       num_inference_steps: int, encode_chunk: int):
+                       num_inference_steps: int, encode_chunk: int,
+                       use_mask: bool = False):
         f = self.vae_config.downscale_factor
         lat_h, lat_w = height // f, width // f
         scaling = self.vae_config.scaling_factor
@@ -133,13 +134,20 @@ class VideoInterpolationPipeline:
         ts_arr, pts_arr = jnp.asarray(ts), jnp.asarray(pts)
         cond_idx = jnp.asarray(copied_video_indices(out_frames))
 
-        def sample_fn(params, token_ids, frames, init_noise, guidance_scale, sample_rng):
+        def sample_fn(params, token_ids, frames, init_noise, guidance_scale,
+                      sample_rng, frame_mask=None):
             """frames: (B, out_frames, H, W, 3) in [-1, 1] — the input video
             resampled onto the 61-frame grid (reference get_input reads 61
-            frames via linspace, interpolation/sample.py:73-81)."""
+            frames via linspace, interpolation/sample.py:73-81).
+            frame_mask: (B, out_frames) 0=known/1=generate — masked-inpainting
+            mode (reference: interpolation/sample.py:95-132)."""
             text_states = text_encoder.apply(
                 {"params": params["text_encoder"]}, token_ids
             ).astype(dtype)
+
+            if use_mask:
+                # zero out the frames to generate before encoding
+                frames = frames * (1.0 - frame_mask)[:, :, None, None, None]
 
             # VAE-encode all frames (folded into batch), sample the posterior
             x2d = frames.reshape(batch * out_frames, height, width, 3).astype(dtype)
@@ -152,16 +160,27 @@ class VideoInterpolationPipeline:
             )
             z = (z.astype(jnp.float32) * scaling).reshape(batch, out_frames, lat_h, lat_w, -1)
 
-            # copied-video conditioning: nearest base frame per output slot
-            copied = jnp.take(z, cond_idx, axis=1)  # (B, 61, h, w, 4)
-            copied_2 = jnp.concatenate([copied, copied], axis=0).astype(dtype)
+            if use_mask:
+                # conditioning is the masked video itself; the mask rides as a
+                # 5th channel (9-ch UNet input, reference:
+                # gaussian_diffusion.py:300, interpolation/models/unet.py:503-508)
+                cond = z
+                mask_lat = jnp.broadcast_to(
+                    frame_mask[:, :, None, None, None],
+                    (batch, out_frames, lat_h, lat_w, 1),
+                ).astype(jnp.float32)
+                extra = jnp.concatenate([mask_lat, cond], axis=-1)
+            else:
+                # copied-video conditioning: nearest base frame per output slot
+                extra = jnp.take(z, cond_idx, axis=1)  # (B, 61, h, w, 4)
+            extra_2 = jnp.concatenate([extra, extra], axis=0).astype(dtype)
 
             x = init_noise
 
             def body(x, tp):
                 t, pt = tp
                 xin = jnp.concatenate([x, x], axis=0).astype(dtype)
-                xin = jnp.concatenate([xin, copied_2], axis=-1)  # 8 channels
+                xin = jnp.concatenate([xin, extra_2], axis=-1)  # 8 or 9 channels
                 pred = unet.apply(
                     {"params": params["unet"]},
                     xin,
@@ -208,6 +227,7 @@ class VideoInterpolationPipeline:
         seed: int = 0,
         latents: Optional[np.ndarray] = None,
         encode_chunk: int = 16,
+        mask_type: Optional[str] = None,
     ) -> InterpolationOutput:
         steps = num_inference_steps or self.sampling.num_inference_steps
         guidance = guidance_scale if guidance_scale is not None else self.sampling.guidance_scale
@@ -237,13 +257,31 @@ class VideoInterpolationPipeline:
         else:
             init_noise = jnp.asarray(latents, dtype=jnp.float32).reshape(shape)
 
-        cache_key = (b, out_frames, height, width, steps, encode_chunk)
+        use_mask = mask_type is not None
+        if use_mask:
+            assert self.unet_config.in_channels == 9, (
+                "masked interpolation needs the 9-channel UNet "
+                "(UNetConfig.interpolation(use_mask=True))"
+            )
+            from lavie_tpu.utils.masks import mask_generation
+
+            frame_mask = jnp.asarray(
+                mask_generation(mask_type, (b, out_frames), np.random.RandomState(seed))
+            )
+
+        cache_key = (b, out_frames, height, width, steps, encode_chunk, use_mask)
         if cache_key not in self._compiled:
             self._compiled[cache_key] = self._build_sampler(
-                b, out_frames, height, width, steps, encode_chunk
+                b, out_frames, height, width, steps, encode_chunk, use_mask=use_mask
             )
-        out = self._compiled[cache_key](
-            self.params, token_ids, jnp.asarray(frames), init_noise,
-            jnp.float32(guidance), enc_key,
-        )
+        if use_mask:
+            out = self._compiled[cache_key](
+                self.params, token_ids, jnp.asarray(frames), init_noise,
+                jnp.float32(guidance), enc_key, frame_mask,
+            )
+        else:
+            out = self._compiled[cache_key](
+                self.params, token_ids, jnp.asarray(frames), init_noise,
+                jnp.float32(guidance), enc_key,
+            )
         return InterpolationOutput(video=np.asarray(out))

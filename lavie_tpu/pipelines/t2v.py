@@ -39,7 +39,8 @@ from lavie_tpu.diffusion.samplers import (
     prev_timesteps,
 )
 from lavie_tpu.io.tokenizer import CLIPTokenizer
-from lavie_tpu.nn.clip import CLIPTextModel
+from lavie_tpu.nn.clip import CLIPTextModel, CLIPVisionConfig, CLIPVisionModel
+from lavie_tpu.nn.mapping import MappingNetwork
 from lavie_tpu.nn.unet import UNet3D
 from lavie_tpu.nn.vae import AutoencoderKL
 
@@ -62,6 +63,8 @@ class TextToVideoPipeline:
         sampling: SamplingConfig = SamplingConfig(),
         tokenizer: Optional[CLIPTokenizer] = None,
         dtype: Any = jnp.bfloat16,
+        vision_config: Optional[CLIPVisionConfig] = None,
+        mapping_network: Optional[MappingNetwork] = None,
     ):
         self.unet_config = unet_config
         self.vae_config = vae_config
@@ -77,6 +80,14 @@ class TextToVideoPipeline:
         self.unet = UNet3D(config=unet_config, dtype=dtype)
         self.vae = AutoencoderKL(config=vae_config, dtype=dtype)
         self.text_encoder = CLIPTextModel(config=text_config, dtype=dtype)
+        # optional image conditioning (the fork's pipeline variant,
+        # reference: base/pipelines/inference.py:67-629): CLIP vision tower +
+        # MappingNetwork whose output is concatenated onto the text states
+        self.vision_config = vision_config
+        self.vision_encoder = (
+            CLIPVisionModel(config=vision_config, dtype=dtype) if vision_config else None
+        )
+        self.mapping_network = mapping_network
 
         self.schedule = NoiseSchedule.create(
             sampling.beta_schedule,
@@ -99,10 +110,12 @@ class TextToVideoPipeline:
         text_config: CLIPTextConfig = CLIPTextConfig.vit_l(),
         sampling: SamplingConfig = SamplingConfig(),
         dtype: Any = jnp.bfloat16,
+        with_image_conditioning: bool = False,
+        vision_config: Optional[CLIPVisionConfig] = None,
     ) -> "TextToVideoPipeline":
         """Randomly-initialized pipeline (no checkpoint), for benchmarking and
         weight-free testing."""
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
         unet = UNet3D(config=unet_config, dtype=dtype)
         vae = AutoencoderKL(config=vae_config, dtype=dtype)
         text = CLIPTextModel(config=text_config, dtype=dtype)
@@ -122,7 +135,37 @@ class TextToVideoPipeline:
         ids = jnp.zeros((1, text_config.max_position_embeddings), dtype=jnp.int32)
         text_params = jax.jit(text.init)(k3, ids)["params"]
         params = {"unet": unet_params, "vae": vae_params, "text_encoder": text_params}
-        return cls(unet_config, vae_config, text_config, params, sampling, dtype=dtype)
+
+        mapping = None
+        if with_image_conditioning:
+            if vision_config is None:
+                vision_config = (
+                    CLIPVisionConfig().tiny()
+                    if text_config.hidden_size < 256
+                    else CLIPVisionConfig()
+                )
+            vision = CLIPVisionModel(config=vision_config, dtype=dtype)
+            mapping = MappingNetwork(
+                input_dim=vision_config.hidden_size,
+                output_dim=text_config.hidden_size,
+                num_layers=2 if text_config.hidden_size < 256 else 12,
+                num_heads=2 if text_config.hidden_size < 256 else 12,
+                seq_len_in=vision_config.num_positions,
+                seq_len_out=text_config.max_position_embeddings,
+                dtype=dtype,
+            )
+            px = jnp.zeros((1, vision_config.image_size, vision_config.image_size, 3))
+            params["vision_encoder"] = jax.jit(vision.init)(k4, px)["params"]
+            img_tok = jnp.zeros((1, vision_config.num_positions, vision_config.hidden_size))
+            txt_tok = jnp.zeros((1, text_config.max_position_embeddings, text_config.hidden_size))
+            params["mapping"] = jax.jit(mapping.init)(k5, img_tok, txt_tok)["params"]
+        else:
+            vision_config = None
+
+        return cls(
+            unet_config, vae_config, text_config, params, sampling, dtype=dtype,
+            vision_config=vision_config, mapping_network=mapping,
+        )
 
     # ------------------------------------------------------------------
     # compiled sampler
@@ -138,6 +181,7 @@ class TextToVideoPipeline:
         sample_method: str,
         eta: float,
         decode_chunk: int,
+        with_image: bool = False,
     ):
         """Returns a jitted fn(params, token_ids, init_noise, noise_key,
         guidance_scale) → uint8 video."""
@@ -170,11 +214,27 @@ class TextToVideoPipeline:
         unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
         prediction_type = cfg.prediction_type
 
-        def sample_fn(params, token_ids, init_noise, noise_key, guidance_scale):
+        vision_encoder = self.vision_encoder
+        mapping_network = self.mapping_network
+
+        def sample_fn(params, token_ids, init_noise, noise_key, guidance_scale, image=None):
             # --- text encoding: (2B, 77) [uncond; cond] → (2B, 77, D) ---
             text_states = text_encoder.apply(
                 {"params": params["text_encoder"]}, token_ids
             ).astype(dtype)
+
+            if with_image:
+                # image conditioning: CLIP vision tokens → mapper → concat
+                # onto BOTH cond and uncond text states
+                # (reference: base/pipelines/inference.py:286-349)
+                img_states = vision_encoder.apply(
+                    {"params": params["vision_encoder"]}, image.astype(dtype)
+                )
+                img2 = jnp.concatenate([img_states, img_states], axis=0)
+                mapped = mapping_network.apply(
+                    {"params": params["mapping"]}, img2, text_states
+                ).astype(dtype)
+                text_states = jnp.concatenate([text_states, mapped], axis=1)
 
             latents = init_noise * init_sigma
 
@@ -263,6 +323,7 @@ class TextToVideoPipeline:
     def __call__(
         self,
         prompt,
+        image: Optional[np.ndarray] = None,
         video_length: Optional[int] = None,
         height: Optional[int] = None,
         width: Optional[int] = None,
@@ -302,12 +363,33 @@ class TextToVideoPipeline:
             # (reference accepts `latents`: pipeline_videogen.py:503-506)
             init_noise = jnp.asarray(latents, dtype=jnp.float32).reshape(shape)
 
-        cache_key = (batch, video_length, height, width, steps, method, decode_chunk)
+        with_image = image is not None
+        if with_image:
+            assert self.mapping_network is not None, (
+                "image conditioning requires a pipeline built with "
+                "with_image_conditioning/vision_config"
+            )
+            from lavie_tpu.eval.clipsim import clip_preprocess
+
+            img = np.asarray(image)
+            if img.dtype == np.uint8:
+                img = clip_preprocess(img[None], self.vision_config.image_size)
+            elif img.ndim == 3:
+                img = img[None]
+            img = jnp.asarray(np.broadcast_to(img, (batch,) + img.shape[1:]))
+
+        cache_key = (batch, video_length, height, width, steps, method, decode_chunk, with_image)
         if cache_key not in self._compiled:
             self._compiled[cache_key] = self._build_sampler(
-                batch, video_length, height, width, steps, method, cfg.eta, decode_chunk
+                batch, video_length, height, width, steps, method, cfg.eta,
+                decode_chunk, with_image=with_image,
             )
-        video = self._compiled[cache_key](
-            self.params, token_ids, init_noise, noise_key, jnp.float32(guidance)
-        )
+        if with_image:
+            video = self._compiled[cache_key](
+                self.params, token_ids, init_noise, noise_key, jnp.float32(guidance), img
+            )
+        else:
+            video = self._compiled[cache_key](
+                self.params, token_ids, init_noise, noise_key, jnp.float32(guidance)
+            )
         return PipelineOutput(video=np.asarray(video))

@@ -78,3 +78,49 @@ class TestInterpolationPipeline:
         a = tiny_tsr(v1, "x", num_inference_steps=2, out_frames=13, seed=0).video
         b = tiny_tsr(v2, "x", num_inference_steps=2, out_frames=13, seed=0).video
         assert not np.array_equal(a, b)
+
+
+class TestMaskGeneration:
+    def test_tsr_mask(self):
+        from lavie_tpu.utils.masks import mask_generation
+
+        m = mask_generation("tsr", (2, 61))
+        assert m.shape == (2, 61)
+        np.testing.assert_array_equal(m[0, ::4], 0.0)  # every 4th kept
+        assert m[0].sum() == 61 - 16
+
+    def test_named_masks(self):
+        from lavie_tpu.utils.masks import mask_generation
+
+        assert mask_generation("first3", (1, 8))[0, :3].sum() == 0
+        assert mask_generation("all", (1, 8)).sum() == 8
+        m = mask_generation("onelast2", (1, 10))[0]
+        assert m[:2].sum() == 0 and m[-2:].sum() == 0 and m[2:-2].sum() == 6
+        m = mask_generation("random0.5", (1, 10))[0]
+        assert m.sum() == 5
+        m = mask_generation("interpolate", (1, 16))[0]
+        np.testing.assert_array_equal(m[::4], 0.0)
+        with pytest.raises(ValueError):
+            mask_generation("bogus", (1, 4))
+
+
+class TestMaskedInterpolation:
+    def test_masked_path_runs(self):
+        pipe = VideoInterpolationPipeline.init_random(
+            jax.random.PRNGKey(0),
+            unet_config=UNetConfig.interpolation(use_mask=True).tiny(),
+            vae_config=VAEConfig.sd().tiny(),
+            text_config=CLIPTextConfig.vit_l().tiny(),
+            dtype=jnp.float32,
+        )
+        assert pipe.unet_config.in_channels == 9
+        video_in = (np.random.RandomState(0).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+        out = pipe(video_in, "x", num_inference_steps=2, out_frames=13, seed=0,
+                   mask_type="tsr")
+        assert out.video.shape == (1, 13, 64, 64, 3)
+
+    def test_mask_requires_9ch_unet(self, tiny_tsr):
+        video_in = np.zeros((4, 64, 64, 3), np.uint8)
+        with pytest.raises(AssertionError):
+            tiny_tsr(video_in, "x", num_inference_steps=2, out_frames=13,
+                     mask_type="tsr")

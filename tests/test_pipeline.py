@@ -95,3 +95,40 @@ class TestTokenizer:
         assert ids[0, 1] == vocab["ab</w>"]
         assert ids[0, 2] == vocab["c</w>"]
         assert ids[0, 3] == vocab["<|endoftext|>"]
+
+
+class TestImageConditionedT2V:
+    """The fork's image-conditioned pipeline variant
+    (reference: base/pipelines/inference.py:67-629)."""
+
+    @pytest.fixture(scope="class")
+    def img_pipeline(self):
+        return TextToVideoPipeline.init_random(
+            jax.random.PRNGKey(0),
+            unet_config=UNetConfig.base_t2v().tiny(),
+            vae_config=VAEConfig.sd().tiny(),
+            text_config=CLIPTextConfig.vit_l().tiny(),
+            sampling=SamplingConfig(video_length=2, height=64, width=64,
+                                    num_inference_steps=2),
+            dtype=jnp.float32,
+            with_image_conditioning=True,
+        )
+
+    def test_image_conditioning_changes_output(self, img_pipeline):
+        rng = np.random.RandomState(0)
+        img1 = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+        img2 = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+        a = img_pipeline("a cat", image=img1, num_inference_steps=2, seed=0,
+                         sample_method="ddim").video
+        b = img_pipeline("a cat", image=img2, num_inference_steps=2, seed=0,
+                         sample_method="ddim").video
+        c = img_pipeline("a cat", num_inference_steps=2, seed=0,
+                         sample_method="ddim").video
+        assert not np.array_equal(a, b)
+        assert not np.array_equal(a, c)
+        assert a.shape == c.shape
+
+    def test_image_without_mapper_raises(self, tiny_pipeline):
+        img = np.zeros((40, 40, 3), np.uint8)
+        with pytest.raises(AssertionError):
+            tiny_pipeline("x", image=img, num_inference_steps=2)
