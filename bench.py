@@ -25,7 +25,9 @@ jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.lavie_tpu_
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 # Round-1 pinned value (frames/s on one v5e chip); later rounds compare to it.
-ROUND1_BASELINE_FPS = 1.1506
+# (1.1506 with the padded flash kernel everywhere; 1.5533 after restricting
+# flash to pad-free shapes — XLA's fused attention wins at head_dim 40/80.)
+ROUND1_BASELINE_FPS = 1.5533
 
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))

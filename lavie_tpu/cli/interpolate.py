@@ -70,6 +70,7 @@ def main(argv=None):
         glob.glob(os.path.join(cfg.get("input_folder", "./res/base/"), "*.mp4"))
         + glob.glob(os.path.join(cfg.get("input_folder", "./res/base/"), "*.npy"))
         + glob.glob(os.path.join(cfg.get("input_folder", "./res/base/"), "*.gif"))
+        + glob.glob(os.path.join(cfg.get("input_folder", "./res/base/"), "*.avi"))
     )
     suffix = cfg.get("additional_prompt", ", 4k.")
     for path in inputs:

@@ -60,6 +60,7 @@ def main(argv=None):
         glob.glob(os.path.join(in_dir, "*.mp4"))
         + glob.glob(os.path.join(in_dir, "*.npy"))
         + glob.glob(os.path.join(in_dir, "*.gif"))
+        + glob.glob(os.path.join(in_dir, "*.avi"))
     )
     print(f"video num: {len(inputs)}")
     for i, path in enumerate(inputs):

@@ -24,7 +24,16 @@ def write_video(path: str, frames: np.ndarray, fps: int = 8, quality: int = 9) -
         return path
     except Exception:
         pass
-    try:  # no ffmpeg: animated GIF via PIL
+    try:  # no ffmpeg: the framework's native MJPEG/AVI codec (csrc/mjpeg_avi.c)
+        from lavie_tpu.native import mjpeg_available, write_avi
+
+        if mjpeg_available():
+            alt = os.path.splitext(path)[0] + ".avi"
+            write_avi(alt, frames, fps=fps, quality=min(100, quality * 10 + 5))
+            return alt
+    except Exception:
+        pass
+    try:  # animated GIF via PIL
         from PIL import Image
 
         alt = os.path.splitext(path)[0] + ".gif"
@@ -44,6 +53,10 @@ def read_video(path: str, max_frames: Optional[int] = None) -> np.ndarray:
     """Returns (F, H, W, 3) uint8. Reads mp4 via imageio, or .npy fallback."""
     if path.endswith(".npy"):
         frames = np.load(path)
+    elif path.endswith(".avi"):
+        from lavie_tpu.native import read_avi
+
+        frames = read_avi(path)
     else:
         import imageio.v2 as imageio
 

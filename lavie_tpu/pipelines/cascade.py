@@ -40,10 +40,21 @@ class VideoCascadePipeline:
         base: TextToVideoPipeline,
         interpolation: Optional[VideoInterpolationPipeline] = None,
         vsr: Optional[VideoSuperResolutionPipeline] = None,
+        mesh: Optional[Any] = None,
     ):
         self.base = base
         self.interpolation = interpolation
         self.vsr = vsr
+        if mesh is not None:
+            self.set_mesh(mesh)
+
+    def set_mesh(self, mesh) -> None:
+        """Frame-shard all stages over the mesh (v5e-8 option-4 target)."""
+        self.base.mesh = mesh
+        if self.interpolation is not None:
+            self.interpolation.mesh = mesh
+        if self.vsr is not None:
+            self.vsr.mesh = mesh
 
     @classmethod
     def init_random(

@@ -68,7 +68,9 @@ class VideoInterpolationPipeline:
         ),
         tokenizer: Optional[CLIPTokenizer] = None,
         dtype: Any = jnp.bfloat16,
+        mesh: Optional[Any] = None,
     ):
+        self.mesh = mesh
         assert unet_config.in_channels in (8, 9), "TSR UNet takes 8 (or 9) channels"
         self.unet_config = unet_config
         self.vae_config = vae_config
@@ -256,6 +258,15 @@ class VideoInterpolationPipeline:
             init_noise = jax.random.normal(lat_key, shape, dtype=jnp.float32)
         else:
             init_noise = jnp.asarray(latents, dtype=jnp.float32).reshape(shape)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P(
+                None,
+                "sp" if out_frames % self.mesh.shape.get("sp", 1) == 0 else None,
+            )
+            init_noise = jax.device_put(init_noise, NamedSharding(self.mesh, spec))
 
         use_mask = mask_type is not None
         if use_mask:

@@ -65,7 +65,13 @@ class TextToVideoPipeline:
         dtype: Any = jnp.bfloat16,
         vision_config: Optional[CLIPVisionConfig] = None,
         mapping_network: Optional[MappingNetwork] = None,
+        mesh: Optional[Any] = None,
     ):
+        # Optional (dp, sp, tp) mesh: latents are sharded batch→dp, frames→sp
+        # and XLA propagates — spatial convs/attention and the VAE are
+        # embarrassingly parallel over frames; only the f×f temporal attention
+        # induces collectives, riding ICI (SURVEY §5.7 TPU-native plan).
+        self.mesh = mesh
         self.unet_config = unet_config
         self.vae_config = vae_config
         self.text_config = text_config
@@ -362,6 +368,17 @@ class TextToVideoPipeline:
             # injected latents for per-seed parity with the reference
             # (reference accepts `latents`: pipeline_videogen.py:503-506)
             init_noise = jnp.asarray(latents, dtype=jnp.float32).reshape(shape)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # shard only axes the mesh divides (single-video runs keep batch
+            # replicated and shard frames)
+            spec = P(
+                "dp" if batch % self.mesh.shape.get("dp", 1) == 0 and self.mesh.shape.get("dp", 1) > 1 else None,
+                "sp" if video_length % self.mesh.shape.get("sp", 1) == 0 else None,
+            )
+            init_noise = jax.device_put(init_noise, NamedSharding(self.mesh, spec))
 
         with_image = image is not None
         if with_image:

@@ -65,7 +65,9 @@ class VideoSuperResolutionPipeline:
         noise_level: int = 50,
         window: int = 8,
         decode_chunk: int = 4,
+        mesh: Optional[Any] = None,
     ):
+        self.mesh = mesh
         assert unet_config.in_channels == 7, "VSR UNet takes 4 latent + 3 RGB channels"
         self.unet_config = unet_config
         self.vae_config = vae_config
@@ -237,8 +239,14 @@ class VideoSuperResolutionPipeline:
             if cache_key not in self._compiled:
                 self._compiled[cache_key] = self._build_sampler(1, win, height, width, steps)
             key, sub = jax.random.split(key)
+            chunk_in = jnp.asarray(chunk)[None]
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                spec = P(None, "sp" if win % self.mesh.shape.get("sp", 1) == 0 else None)
+                chunk_in = jax.device_put(chunk_in, NamedSharding(self.mesh, spec))
             out = self._compiled[cache_key](
-                self.params, token_ids, jnp.asarray(chunk)[None],
+                self.params, token_ids, chunk_in,
                 jnp.int32(nl), jnp.float32(guidance), sub,
             )
             out = np.asarray(out)[0]
