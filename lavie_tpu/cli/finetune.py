@@ -136,15 +136,21 @@ def train(cfg):
     key = jax.random.PRNGKey(2)
     max_steps = cfg.get("max_train_steps") or 10
     epochs = cfg.get("num_train_epochs", 1)
+    drop_p = cfg.get("caption_dropout", 0.1)
+    drop_rng = np.random.RandomState(cfg.get("seed") or 0)
     done = False
     for epoch in range(epochs):
         if done:
             break
         for batch_np in dl:
             key, sub = jax.random.split(key)
+            # CFG caption blanking (reference token_drop, clip.py:70-81)
+            captions = [
+                "" if drop_rng.rand() < drop_p else c for c in batch_np["caption"]
+            ]
             batch = {
                 "video": jnp.asarray(batch_np["video"]),
-                "token_ids": jnp.asarray(tokenizer(batch_np["caption"])),
+                "token_ids": jnp.asarray(tokenizer(captions)),
                 "cond_image": jnp.asarray(
                     np.stack([
                         clip_preprocess(((f + 1) * 127.5).astype(np.uint8)[None],

@@ -80,6 +80,7 @@ class MappingNetwork(nn.Module):
     num_heads: int = 12
     seq_len_in: int = 257
     seq_len_out: int = 77
+    ffn_dim: int = 2048  # torch TransformerDecoderLayer default
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -99,7 +100,8 @@ class MappingNetwork(nn.Module):
         tgt = text_embeds + txt_pos.astype(text_embeds.dtype)
         for i in range(self.num_layers):
             tgt = TransformerDecoderLayer(
-                self.output_dim, self.num_heads, name=f"layers_{i}", **common
+                self.output_dim, self.num_heads, ffn_dim=self.ffn_dim,
+                name=f"layers_{i}", **common,
             )(tgt, mem)
         return tgt
 

@@ -127,6 +127,7 @@ class BasicTransformerBlock(nn.Module):
         hidden_states: jnp.ndarray,  # (B·F, S, C)
         encoder_hidden_states: Optional[jnp.ndarray],  # (B·F, L, D)
         video_length: int,
+        image_frames: int = 0,
     ) -> jnp.ndarray:
         # spatial attention (self, sparse-causal, or only-cross for VSR blocks)
         norm_hs = self.norm1(hidden_states)
@@ -144,13 +145,22 @@ class BasicTransformerBlock(nn.Module):
                 + hidden_states
             )
 
-        # temporal attention over the frame axis: (B·F, S, C) → (B·S, F, C)
+        # temporal attention over the frame axis: (B·F, S, C) → (B·S, F, C).
+        # In joint image-video training the trailing `image_frames` stills are
+        # excluded from temporal attention (reference:
+        # base/models/attention.py:537-547 training branch).
         if self.attn_temp is not None:
             bf, s, c = hidden_states.shape
             b = bf // video_length
             x = hidden_states.reshape(b, video_length, s, c)
             x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * s, video_length, c)
-            x = self.attn_temp(self.norm_temp(x)) + x
+            if image_frames > 0:
+                vid = x[:, : video_length - image_frames]
+                img = x[:, video_length - image_frames:]
+                vid = self.attn_temp(self.norm_temp(vid)) + vid
+                x = jnp.concatenate([vid, img], axis=1)
+            else:
+                x = self.attn_temp(self.norm_temp(x)) + x
             x = x.reshape(b, s, video_length, c)
             hidden_states = jnp.transpose(x, (0, 2, 1, 3)).reshape(bf, s, c)
 
@@ -221,7 +231,11 @@ class Transformer3D(nn.Module):
     def __call__(
         self,
         hidden_states: jnp.ndarray,  # (B, F, H, W, C)
-        encoder_hidden_states: Optional[jnp.ndarray],  # (B, L, D)
+        encoder_hidden_states: Optional[jnp.ndarray],  # (B, L, D) or, for
+        # joint image-video training, (B, 1+image_frames, L, D) — one row of
+        # text states for the video plus one per appended still
+        # (reference: base/models/attention.py:358-364)
+        image_frames: int = 0,
     ) -> jnp.ndarray:
         b, f, h, w, c = hidden_states.shape
         residual = hidden_states
@@ -233,11 +247,18 @@ class Transformer3D(nn.Module):
 
         ehs = None
         if encoder_hidden_states is not None:
-            # repeat text states per frame: (B, L, D) → (B·F, L, D)
-            ehs = jnp.repeat(encoder_hidden_states, f, axis=0)
+            if encoder_hidden_states.ndim == 4:
+                video_f = f - image_frames
+                vid = jnp.repeat(encoder_hidden_states[:, 0], video_f, axis=0)
+                vid = vid.reshape(b, video_f, *vid.shape[1:])
+                ehs = jnp.concatenate([vid, encoder_hidden_states[:, 1:]], axis=1)
+                ehs = ehs.reshape(b * f, *ehs.shape[2:])
+            else:
+                # repeat text states per frame: (B, L, D) → (B·F, L, D)
+                ehs = jnp.repeat(encoder_hidden_states, f, axis=0)
 
         for block in self.transformer_blocks:
-            x = block(x, ehs, video_length=f)
+            x = block(x, ehs, video_length=f, image_frames=image_frames)
 
         x = self.proj_out(x)
         x = x.reshape(b, f, h, w, c)

@@ -83,11 +83,11 @@ class CrossAttnDownBlock3D(nn.Module):
         else:
             self.downsamplers = None
 
-    def __call__(self, hidden_states, temb, encoder_hidden_states):
+    def __call__(self, hidden_states, temb, encoder_hidden_states, image_frames=0):
         output_states = []
         for resnet, attn in zip(self.resnets, self.attentions):
             hidden_states = resnet(hidden_states, temb)
-            hidden_states = attn(hidden_states, encoder_hidden_states)
+            hidden_states = attn(hidden_states, encoder_hidden_states, image_frames)
             output_states.append(hidden_states)
         if self.downsamplers is not None:
             hidden_states = self.downsamplers[0](hidden_states)
@@ -171,10 +171,10 @@ class UNetMidBlock3DCrossAttn(nn.Module):
             for _ in range(self.num_layers)
         ]
 
-    def __call__(self, hidden_states, temb, encoder_hidden_states):
+    def __call__(self, hidden_states, temb, encoder_hidden_states, image_frames=0):
         hidden_states = self.resnets[0](hidden_states, temb)
         for attn, resnet in zip(self.attentions, self.resnets[1:]):
-            hidden_states = attn(hidden_states, encoder_hidden_states)
+            hidden_states = attn(hidden_states, encoder_hidden_states, image_frames)
             hidden_states = resnet(hidden_states, temb)
         return hidden_states
 
@@ -224,12 +224,13 @@ class CrossAttnUpBlock3D(nn.Module):
         else:
             self.upsamplers = None
 
-    def __call__(self, hidden_states, res_hidden_states, temb, encoder_hidden_states):
+    def __call__(self, hidden_states, res_hidden_states, temb, encoder_hidden_states,
+                 image_frames=0):
         for resnet, attn in zip(self.resnets, self.attentions):
             res = res_hidden_states.pop()
             hidden_states = jnp.concatenate([hidden_states, res], axis=-1)
             hidden_states = resnet(hidden_states, temb)
-            hidden_states = attn(hidden_states, encoder_hidden_states)
+            hidden_states = attn(hidden_states, encoder_hidden_states, image_frames)
         if self.upsamplers is not None:
             hidden_states = self.upsamplers[0](hidden_states)
         return hidden_states
@@ -426,7 +427,11 @@ class UNet3D(nn.Module):
         timesteps: jnp.ndarray,
         encoder_hidden_states: Optional[jnp.ndarray] = None,
         class_labels: Optional[jnp.ndarray] = None,
+        image_frames: int = 0,
     ) -> jnp.ndarray:
+        """image_frames: trailing still images appended to the frame axis for
+        joint image-video training (reference: base/models/unet.py:366-375);
+        they skip temporal attention and get their own text states."""
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -443,7 +448,7 @@ class UNet3D(nn.Module):
         res_stack = [sample]
         for i, block in enumerate(self.down_blocks):
             if isinstance(block, CrossAttnDownBlock3D):
-                sample, res = block(sample, emb, encoder_hidden_states)
+                sample, res = block(sample, emb, encoder_hidden_states, image_frames)
             else:
                 sample, res = block(sample, emb)
             res_stack.extend(res)
@@ -451,7 +456,7 @@ class UNet3D(nn.Module):
                 sample = self.down_temporal_blocks[i](sample, emb)
 
         # mid
-        sample = self.mid_block(sample, emb, encoder_hidden_states)
+        sample = self.mid_block(sample, emb, encoder_hidden_states, image_frames)
         if self.mid_temporal_block is not None:
             sample = self.mid_temporal_block(sample, emb)
 
@@ -460,7 +465,8 @@ class UNet3D(nn.Module):
             n = len(block.resnets)
             res, res_stack = res_stack[-n:], res_stack[:-n]
             if isinstance(block, CrossAttnUpBlock3D):
-                sample = block(sample, list(res), emb, encoder_hidden_states)
+                sample = block(sample, list(res), emb, encoder_hidden_states,
+                               image_frames)
             else:
                 sample = block(sample, list(res), emb)
             if self.up_temporal_blocks is not None:

@@ -342,6 +342,13 @@ class TextToVideoPipeline:
         decode_chunk: int = 0,
     ) -> PipelineOutput:
         cfg = self.sampling
+        if latents is not None and video_length is None:
+            # injected latents define the sample dims (parity harness flow)
+            lat_arr = np.asarray(latents)
+            f = self.vae_config.downscale_factor
+            video_length = lat_arr.shape[1]
+            height = height or lat_arr.shape[2] * f
+            width = width or lat_arr.shape[3] * f
         video_length = video_length or cfg.video_length
         height = height or cfg.height
         width = width or cfg.width

@@ -66,7 +66,13 @@ class VideoSuperResolutionPipeline:
         window: int = 8,
         decode_chunk: int = 4,
         mesh: Optional[Any] = None,
+        split_cfg: bool = True,
     ):
+        # split_cfg: evaluate the cond/uncond halves sequentially instead of a
+        # doubled batch — same math, half the activation memory. Needed on one
+        # v5e chip: the doubled batch at 8×320×512 latents wants 18.8G HBM
+        # (measured); split it fits. Multi-chip meshes can set False.
+        self.split_cfg = split_cfg
         self.mesh = mesh
         assert unet_config.in_channels == 7, "VSR UNet takes 4 latent + 3 RGB channels"
         self.unet_config = unet_config
@@ -152,25 +158,43 @@ class VideoSuperResolutionPipeline:
                 noise,
                 jnp.broadcast_to(noise_level, (batch,)),
             )
-            image2 = jnp.concatenate([image, image], axis=0).astype(dtype)
-            nl2 = jnp.broadcast_to(noise_level, (2 * batch,))
+            image_c = image.astype(dtype)
+            nl1 = jnp.broadcast_to(noise_level, (batch,))
 
             x = jax.random.normal(
                 lat_key, (batch, frames, height, width, 4), dtype=jnp.float32
             )
 
-            def body(x, tp):
-                t, pt = tp
-                xin = jnp.concatenate([x, x], axis=0).astype(dtype)
-                xin = jnp.concatenate([xin, image2], axis=-1)  # 7 channels
-                pred = unet.apply(
+            def unet_half(x, t, text_half):
+                xin = jnp.concatenate([x.astype(dtype), image_c], axis=-1)  # 7ch
+                return unet.apply(
                     {"params": params["unet"]},
                     xin,
-                    jnp.broadcast_to(t, (2 * batch,)),
-                    text_states,
-                    class_labels=nl2,
+                    jnp.broadcast_to(t, (batch,)),
+                    text_half,
+                    class_labels=nl1,
                 ).astype(jnp.float32)
-                v = classifier_free_guidance(pred, guidance_scale)
+
+            def body(x, tp):
+                t, pt = tp
+                if self.split_cfg:
+                    # sequential halves: half the peak activation memory
+                    pred_u = unet_half(x, t, text_states[:batch])
+                    pred_c = unet_half(x, t, text_states[batch:])
+                    v = pred_u + guidance_scale * (pred_c - pred_u)
+                else:
+                    xin = jnp.concatenate([x, x], axis=0).astype(dtype)
+                    xin = jnp.concatenate(
+                        [xin, jnp.concatenate([image_c, image_c], axis=0)], axis=-1
+                    )
+                    pred = unet.apply(
+                        {"params": params["unet"]},
+                        xin,
+                        jnp.broadcast_to(t, (2 * batch,)),
+                        text_states,
+                        class_labels=jnp.broadcast_to(noise_level, (2 * batch,)),
+                    ).astype(jnp.float32)
+                    v = classifier_free_guidance(pred, guidance_scale)
                 x = ddim_step(schedule, x, v, t, pt, prediction_type="v_prediction")
                 return x, None
 

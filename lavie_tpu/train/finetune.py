@@ -62,6 +62,9 @@ class FinetuneConfig:
     min_snr_gamma: Optional[float] = 5.0
     alignment_loss_weight: float = 0.2
     prediction_type: str = "epsilon"
+    # CFG training: probability of blanking the caption
+    # (reference token_drop, base/models/clip.py:70-81)
+    caption_dropout: float = 0.1
     checkpointing_steps: int = 504
     checkpoints_total_limit: int = 3
 

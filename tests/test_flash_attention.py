@@ -22,14 +22,15 @@ class TestBlockSelection:
         assert _pick_block(100) == 0
 
     def test_supported_shapes(self):
-        q = jnp.zeros((2, 2560, 8, 40))
-        k = jnp.zeros((2, 2560, 8, 40))
-        assert flash_supported_shape(q, k)
-        q77 = jnp.zeros((2, 77, 8, 40))
+        # pad-free head dims only (measured: XLA wins at D=40/80)
+        q128 = jnp.zeros((2, 2560, 8, 128))
+        assert flash_supported_shape(q128, q128)
+        q40 = jnp.zeros((2, 2560, 8, 40))
+        assert not flash_supported_shape(q40, q40)  # padding waste
+        q77 = jnp.zeros((2, 77, 8, 128))
         assert not flash_supported_shape(q77, q77)  # short seq
-        qx = jnp.zeros((2, 2560, 8, 40))
-        kx = jnp.zeros((2, 77, 8, 40))
-        assert not flash_supported_shape(qx, kx)  # cross
+        kx = jnp.zeros((2, 77, 8, 128))
+        assert not flash_supported_shape(q128, kx)  # cross
 
 
 class TestFlashMatchesXLA:

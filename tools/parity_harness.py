@@ -1,0 +1,108 @@
+"""Per-seed / per-module parity harness against the PyTorch reference.
+
+The north-star parity metric is ≥35 dB PSNR on matched outputs
+(BASELINE.md). Exact per-seed parity requires *injecting* the reference's
+initial latents (torch and JAX RNGs differ; both pipelines accept `latents`,
+reference: base/pipelines/pipeline_videogen.py:503-506).
+
+Workflow (needs the reference checkpoints, which are not in this image):
+  1. On the torch side, dump with `dump_reference.py`-style code:
+       np.savez("ref_base.npz", latents=init_latents, video=out_video,
+                text_emb=..., unet_in=..., unet_out=...)
+  2. Run:  python tools/parity_harness.py --dump ref_base.npz \
+               --ckpt pretrained_models/lavie_base.pt \
+               --sd-path pretrained_models/stable-diffusion-v1-4
+  3. Reports per-module activation diffs and end-to-end PSNR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(peak**2 / mse))
+
+
+def compare(name: str, ours: np.ndarray, ref: np.ndarray) -> None:
+    ours = np.asarray(ours, np.float32)
+    ref = np.asarray(ref, np.float32)
+    if ours.shape != ref.shape:
+        print(f"  {name}: SHAPE MISMATCH ours={ours.shape} ref={ref.shape}")
+        return
+    diff = np.abs(ours - ref)
+    denom = np.abs(ref).mean() + 1e-8
+    print(
+        f"  {name}: max|Δ|={diff.max():.3e} mean|Δ|={diff.mean():.3e} "
+        f"rel={diff.mean()/denom:.3e}"
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dump", required=True, help=".npz of reference tensors")
+    p.add_argument("--ckpt", help="lavie_base.pt for weight conversion")
+    p.add_argument("--sd-path", help="stable-diffusion-v1-4 folder")
+    p.add_argument("--steps", type=int, default=10)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from lavie_tpu.core.config import CLIPTextConfig, SamplingConfig, UNetConfig, VAEConfig
+    from lavie_tpu.io.checkpoints import load_pipeline_params
+    from lavie_tpu.pipelines import TextToVideoPipeline
+
+    dump = np.load(args.dump, allow_pickle=True)
+    print(f"reference dump keys: {list(dump.keys())}")
+
+    pipe = TextToVideoPipeline.init_random(jax.random.PRNGKey(0))
+    if args.ckpt:
+        pipe.params = load_pipeline_params(pipe.params, args.ckpt, args.sd_path)
+        print("loaded converted reference weights")
+    else:
+        print("WARNING: no checkpoint — structural comparison only", file=sys.stderr)
+
+    # module-level comparisons when intermediate tensors are in the dump
+    if "text_emb" in dump and "token_ids" in dump:
+        ours_text = pipe.text_encoder.apply(
+            {"params": pipe.params["text_encoder"]}, jnp.asarray(dump["token_ids"])
+        )
+        # reference layout (B, 77, 768) matches ours
+        compare("text_encoder.last_hidden_state", np.asarray(ours_text), dump["text_emb"])
+
+    if "unet_in" in dump and "unet_out" in dump and "unet_t" in dump:
+        # reference layout (B, C, F, H, W) → ours (B, F, H, W, C)
+        x = np.transpose(dump["unet_in"], (0, 2, 3, 4, 1))
+        ref_out = np.transpose(dump["unet_out"], (0, 2, 3, 4, 1))
+        ctx = dump["unet_ctx"]
+        ours_out = pipe.unet.apply(
+            {"params": pipe.params["unet"]},
+            jnp.asarray(x), jnp.asarray(dump["unet_t"]).reshape(-1), jnp.asarray(ctx),
+        )
+        compare("unet.forward", np.asarray(ours_out), ref_out)
+
+    # end-to-end with injected latents
+    if "latents" in dump and "video" in dump and "prompt" in dump:
+        lat = np.transpose(dump["latents"], (0, 2, 3, 4, 1))  # BCFHW→BFHWC
+        out = pipe(
+            str(dump["prompt"]),
+            latents=lat,
+            num_inference_steps=args.steps,
+            sample_method="ddim",
+        ).video
+        ref_video = dump["video"]  # (B, F, H, W, 3) uint8
+        p = psnr(out, ref_video)
+        print(f"end-to-end PSNR vs reference: {p:.2f} dB (target ≥ 35)")
+
+
+if __name__ == "__main__":
+    main()
