@@ -30,7 +30,8 @@ def build_pipeline(cfg: dict) -> VideoInterpolationPipeline:
     scale = cfg.get("model_scale", "full")
     tiny = scale == "tiny"
     mk = (lambda c: c.tiny()) if tiny else (lambda c: c)
-    unet_cfg = mk(UNetConfig.interpolation(use_mask=cfg.get("use_mask", False)))
+    use_mask = bool(cfg.get("mask_type")) or cfg.get("use_mask", False)
+    unet_cfg = mk(UNetConfig.interpolation(use_mask=use_mask))
     vae_cfg = mk(VAEConfig.sd())
     text_cfg = mk(CLIPTextConfig.vit_l())
     sampling = SamplingConfig(
@@ -85,6 +86,7 @@ def main(argv=None):
             num_inference_steps=cfg.get("num_sampling_steps", 50),
             out_frames=cfg.get("num_frames", 61),
             seed=cfg.get("seed", 0) or 0,
+            mask_type=cfg.get("mask_type"),
         )
         written = write_video(
             os.path.join(out_dir, name + ".mp4"), out.video[0], fps=cfg.get("fps", 24)

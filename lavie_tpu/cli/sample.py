@@ -70,8 +70,10 @@ def build_pipeline(cfg: dict) -> TextToVideoPipeline:
         "(structure/perf demo; outputs are noise)",
         file=sys.stderr,
     )
+    with_image = bool(cfg.get("image_path") or cfg.get("image_paths"))
     return TextToVideoPipeline.init_random(
-        jax.random.PRNGKey(cfg.get("seed") or 0), unet_cfg, vae_cfg, text_cfg, sampling
+        jax.random.PRNGKey(cfg.get("seed") or 0), unet_cfg, vae_cfg, text_cfg, sampling,
+        with_image_conditioning=with_image,
     )
 
 
@@ -86,9 +88,20 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     fps = cfg.get("fps", 8)
-    for prompt in cfg.get("text_prompt", []):
+    # optional image conditioning (fork surface: sample.py zips text_prompt
+    # with image_paths, reference: base/pipelines/sample.py:78-89)
+    image_paths = cfg.get("image_paths") or [cfg.get("image_path")] * len(
+        cfg.get("text_prompt", [])
+    )
+    for prompt, image_path in zip(cfg.get("text_prompt", []), image_paths):
         print(f"Processing the ({prompt}) prompt")
-        out = pipeline(prompt, seed=cfg.get("seed"))
+        image = None
+        if image_path and os.path.exists(str(image_path)):
+            from PIL import Image
+            import numpy as np
+
+            image = np.asarray(Image.open(image_path).convert("RGB"))
+        out = pipeline(prompt, image=image, seed=cfg.get("seed"))
         path = os.path.join(out_dir, prompt.replace(" ", "_") + ".mp4")
         written = write_video(path, out.video[0], fps=fps)
         print(f"wrote {written}")

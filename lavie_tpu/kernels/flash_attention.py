@@ -85,27 +85,37 @@ def _pick_block(seq: int, target: int = 512) -> int:
     return 0
 
 
-def flash_supported_shape(q: jnp.ndarray, k: jnp.ndarray) -> bool:
-    """Engage only where the kernel beats XLA's fused attention: long
-    self-attention with a lane-aligned head dim. Measured on v5e: with
-    head_dim 40/80 the 128-lane padding wastes 1.6-3.2× MXU work and XLA wins
-    (full-model bench 1.55 vs 1.15 frames/s); at head_dim 128 (the VSR
-    1024-channel levels) the kernel is pad-free."""
+def flash_supported_shape(
+    q: jnp.ndarray, k: jnp.ndarray, allow_padding: bool = False
+) -> bool:
+    """Default gating: engage only where the kernel beats XLA's fused
+    attention — long self-attention with a lane-aligned head dim. Measured on
+    v5e: with head_dim 40/80 the 128-lane padding wastes 1.6-3.2× MXU work and
+    XLA wins (full-model bench 1.55 vs 1.15 frames/s); at head_dim 128 (the
+    VSR 1024-channel levels) the kernel is pad-free.
+
+    allow_padding=True relaxes the head-dim rule for callers where the
+    alternative is materializing an O(Sq·Sk) score matrix that cannot fit
+    (sparse-causal attention at 61 frames wants a 25.6 GB fp32 score tensor)."""
     seq_q, seq_k, d = q.shape[1], k.shape[1], q.shape[-1]
-    if seq_q != seq_k or seq_q < 1024 or d % 128 != 0 or d > 256:
+    if seq_q < 1024 or d > 256:
         return False
-    return _pick_block(seq_q) >= 128
+    if not allow_padding and (seq_q != seq_k or d % 128 != 0):
+        return False
+    return _pick_block(seq_q) >= 128 and _pick_block(seq_k) >= 128
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _flash_bhsd(q, k, v, scale):
-    """q/k/v: (BH, S, D_padded) → (BH, S, D_padded)."""
-    bh, seq, d = q.shape
-    blk_q = _pick_block(seq)
-    blk_k = blk_q
-    kv_blocks = seq // blk_k
+    """q: (BH, Sq, D_padded), k/v: (BH, Sk, D_padded) → (BH, Sq, D_padded).
+    Sk may differ from Sq (sparse-causal kv is 2·Sq)."""
+    bh, seq_q, d = q.shape
+    seq_k = k.shape[1]
+    blk_q = _pick_block(seq_q)
+    blk_k = _pick_block(seq_k)
+    kv_blocks = seq_k // blk_k
 
-    grid = (bh, seq // blk_q, kv_blocks)
+    grid = (bh, seq_q // blk_q, kv_blocks)
     return pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks),
         grid=grid,
@@ -115,7 +125,7 @@ def _flash_bhsd(q, k, v, scale):
             pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, seq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, seq_q, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((blk_q, 128), jnp.float32),
             pltpu.VMEM((blk_q, 128), jnp.float32),
@@ -144,7 +154,8 @@ def flash_attention(
     d_pad = ((d + 127) // 128) * 128
 
     def to_bhsd(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        sk = x.shape[1]
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, sk, d)
         if d_pad != d:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, d_pad - d)))
         return x
@@ -160,11 +171,12 @@ def flash_attention(
 
 def _flash_bhsd_interpret(q, k, v, scale):
     """Interpreter-mode version for CPU testing."""
-    bh, seq, d = q.shape
-    blk_q = _pick_block(seq)
-    blk_k = blk_q
-    kv_blocks = seq // blk_k
-    grid = (bh, seq // blk_q, kv_blocks)
+    bh, seq_q, d = q.shape
+    seq_k = k.shape[1]
+    blk_q = _pick_block(seq_q)
+    blk_k = _pick_block(seq_k)
+    kv_blocks = seq_k // blk_k
+    grid = (bh, seq_q // blk_q, kv_blocks)
     return pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks),
         grid=grid,
@@ -174,7 +186,7 @@ def _flash_bhsd_interpret(q, k, v, scale):
             pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, seq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, seq_q, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((blk_q, 128), jnp.float32),
             pltpu.VMEM((blk_q, 128), jnp.float32),

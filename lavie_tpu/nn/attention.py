@@ -234,10 +234,12 @@ class SparseCausalAttention(nn.Module):
         v = self.to_v(hidden_states)
 
         def gather_sparse(x):
+            # broadcast/shift instead of index gathers: repeated-index gathers
+            # at f=61, S=2560 crash the TPU compiler; these lower to plain
+            # broadcasts and a roll-like concat
             x = x.reshape(b, f, s, -1)
-            former = np.maximum(np.arange(f) - 1, 0)
-            anchor = x[:, np.zeros(f, dtype=np.int32)]  # frame 0 per frame
-            prev = x[:, former]
+            anchor = jnp.broadcast_to(x[:, 0:1], x.shape)  # frame 0 per frame
+            prev = jnp.concatenate([x[:, 0:1], x[:, :-1]], axis=1)  # frame i-1
             return jnp.concatenate([anchor, prev], axis=2).reshape(bf, 2 * s, -1)
 
         k = gather_sparse(k)
@@ -245,6 +247,16 @@ class SparseCausalAttention(nn.Module):
         q = q.reshape(bf, s, self.heads, self.head_dim)
         k = k.reshape(bf, 2 * s, self.heads, self.head_dim)
         v = v.reshape(bf, 2 * s, self.heads, self.head_dim)
-        out = dot_product_attention(q, k, v)
+        # at 61 frames the fp32 score matrix is ~25 GB — force the flash
+        # kernel (padding waste beats not fitting) whenever shapes allow
+        from lavie_tpu.kernels.attention import _on_tpu
+        from lavie_tpu.kernels.flash_attention import flash_supported_shape
+
+        impl = (
+            "flash"
+            if _on_tpu() and flash_supported_shape(q, k, allow_padding=True)
+            else "xla"
+        )
+        out = dot_product_attention(q, k, v, implementation=impl)
         out = out.reshape(bf, s, self.heads * self.head_dim)
         return self.to_out_0(out)

@@ -71,6 +71,10 @@ class VideoInterpolationPipeline:
         mesh: Optional[Any] = None,
     ):
         self.mesh = mesh
+        import os as _os
+
+        # see DESIGN.md: "python" = step-level jit for slow-compile envs
+        self.loop_mode = _os.environ.get("LAVIE_LOOP_MODE", "scan")
         assert unet_config.in_channels in (8, 9), "TSR UNet takes 8 (or 9) channels"
         self.unet_config = unet_config
         self.vae_config = vae_config
@@ -218,6 +222,92 @@ class VideoInterpolationPipeline:
 
     # ------------------------------------------------------------------
 
+    def _build_stepwise(self, batch: int, out_frames: int, height: int, width: int,
+                        num_inference_steps: int, encode_chunk: int,
+                        use_mask: bool = False):
+        """Step-level jit variant (loop_mode='python'); same math as the
+        scanned sampler."""
+        f = self.vae_config.downscale_factor
+        lat_h, lat_w = height // f, width // f
+        scaling = self.vae_config.scaling_factor
+        dtype = self.dtype
+        schedule = self.schedule
+        unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
+
+        ts, pts = spaced_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
+        cond_idx = jnp.asarray(copied_video_indices(out_frames))
+
+        @jax.jit
+        def prep_fn(params, token_ids, frames, sample_rng, frame_mask=None):
+            text_states = text_encoder.apply(
+                {"params": params["text_encoder"]}, token_ids
+            ).astype(dtype)
+            if use_mask:
+                frames = frames * (1.0 - frame_mask)[:, :, None, None, None]
+            x2d = frames.reshape(batch * out_frames, height, width, 3).astype(dtype)
+            mean, logvar = vae.apply(
+                {"params": params["vae"]}, x2d, method=AutoencoderKL.encode
+            )
+            z = vae.apply(
+                {"params": params["vae"]}, mean, logvar, sample_rng,
+                method=AutoencoderKL.sample_posterior,
+            )
+            z = (z.astype(jnp.float32) * scaling).reshape(batch, out_frames, lat_h, lat_w, -1)
+            if use_mask:
+                mask_lat = jnp.broadcast_to(
+                    frame_mask[:, :, None, None, None],
+                    (batch, out_frames, lat_h, lat_w, 1),
+                ).astype(jnp.float32)
+                extra = jnp.concatenate([mask_lat, z], axis=-1)
+            else:
+                extra = jnp.take(z, cond_idx, axis=1)
+            return text_states, jnp.concatenate([extra, extra], axis=0).astype(dtype)
+
+        @jax.jit
+        def step_fn(params, x, text_states, extra_2, t, pt, guidance):
+            xin = jnp.concatenate([x, x], axis=0).astype(dtype)
+            xin = jnp.concatenate([xin, extra_2], axis=-1)
+            pred = unet.apply(
+                {"params": params["unet"]}, xin,
+                jnp.broadcast_to(t, (2 * batch,)), text_states,
+            ).astype(jnp.float32)
+            eps = classifier_free_guidance(pred, guidance)
+            return ddim_step(schedule, x, eps, t, pt)
+
+        @jax.jit
+        def decode_fn(params, x):
+            z_out = (x / scaling).astype(dtype).reshape(
+                batch * out_frames, lat_h, lat_w, -1
+            )
+            n = batch * out_frames
+            chunk = encode_chunk if encode_chunk and encode_chunk < n else n
+            chunks = [
+                vae.apply(
+                    {"params": params["vae"]},
+                    jax.lax.dynamic_slice_in_dim(z_out, i, min(chunk, n - i), 0),
+                    method=AutoencoderKL.decode,
+                )
+                for i in range(0, n, chunk)
+            ]
+            rgb = jnp.concatenate(chunks, axis=0)
+            video = rgb.astype(jnp.float32).reshape(batch, out_frames, height, width, 3)
+            video = jnp.clip(video / 2 + 0.5, 0.0, 1.0)
+            return jnp.round(video * 255.0).astype(jnp.uint8)
+
+        def sample_fn(params, token_ids, frames, init_noise, guidance, sample_rng,
+                      frame_mask=None):
+            if use_mask:
+                text_states, extra_2 = prep_fn(params, token_ids, frames, sample_rng, frame_mask)
+            else:
+                text_states, extra_2 = prep_fn(params, token_ids, frames, sample_rng)
+            x = init_noise.astype(jnp.float32)
+            for i in range(len(ts)):
+                x = step_fn(params, x, text_states, extra_2,
+                            jnp.int32(int(ts[i])), jnp.int32(int(pts[i])), guidance)
+            return decode_fn(params, x)
+
+        return sample_fn
+
     def __call__(
         self,
         video: np.ndarray,  # (F_in, H, W, 3) uint8 or float [-1,1]
@@ -280,9 +370,13 @@ class VideoInterpolationPipeline:
                 mask_generation(mask_type, (b, out_frames), np.random.RandomState(seed))
             )
 
-        cache_key = (b, out_frames, height, width, steps, encode_chunk, use_mask)
+        cache_key = (b, out_frames, height, width, steps, encode_chunk, use_mask,
+                     self.loop_mode)
         if cache_key not in self._compiled:
-            self._compiled[cache_key] = self._build_sampler(
+            builder = (
+                self._build_stepwise if self.loop_mode == "python" else self._build_sampler
+            )
+            self._compiled[cache_key] = builder(
                 b, out_frames, height, width, steps, encode_chunk, use_mask=use_mask
             )
         if use_mask:

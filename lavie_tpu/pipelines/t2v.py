@@ -72,6 +72,13 @@ class TextToVideoPipeline:
         # embarrassingly parallel over frames; only the f×f temporal attention
         # induces collectives, riding ICI (SURVEY §5.7 TPU-native plan).
         self.mesh = mesh
+        # "scan": whole sample is ONE XLA program (deployment shape).
+        # "python": step-level jit driven from Python — for environments whose
+        # compile service chokes on the scanned full-size program (see
+        # DESIGN.md), and for per-step callbacks. Env LAVIE_LOOP_MODE overrides.
+        import os as _os
+
+        self.loop_mode = _os.environ.get("LAVIE_LOOP_MODE", "scan")
         self.unet_config = unet_config
         self.vae_config = vae_config
         self.text_config = text_config
@@ -322,6 +329,119 @@ class TextToVideoPipeline:
         return jax.jit(sample_fn)
 
     # ------------------------------------------------------------------
+    # step-level jit variant ("python" loop mode)
+    # ------------------------------------------------------------------
+
+    def _build_stepwise(self, batch, video_length, height, width,
+                        num_inference_steps, sample_method, decode_chunk,
+                        with_image):
+        cfg = self.sampling
+        schedule = self.schedule
+        f = self.vae_config.downscale_factor
+        lat_h, lat_w = height // f, width // f
+        scaling = self.vae_config.scaling_factor
+        dtype = self.dtype
+        unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
+        vision_encoder, mapping_network = self.vision_encoder, self.mapping_network
+        prediction_type = cfg.prediction_type
+
+        if sample_method == "ddpm":
+            ts = ddpm_timesteps(num_inference_steps, cfg.num_train_timesteps)
+            extras = (ts, prev_timesteps(ts, cfg.num_train_timesteps))
+            init_sigma = 1.0
+        elif sample_method == "ddim":
+            ts = ddim_timesteps(num_inference_steps, cfg.num_train_timesteps, cfg.steps_offset)
+            extras = (ts, prev_timesteps(ts, cfg.num_train_timesteps))
+            init_sigma = 1.0
+        else:
+            ts_f, sigmas, init_sigma = euler_sigmas(
+                np.asarray(schedule.alphas_cumprod), num_inference_steps, cfg.num_train_timesteps
+            )
+            extras = (ts_f, sigmas)
+
+        @jax.jit
+        def text_fn(params, token_ids, image=None):
+            text_states = text_encoder.apply(
+                {"params": params["text_encoder"]}, token_ids
+            ).astype(dtype)
+            if with_image:
+                img_states = vision_encoder.apply(
+                    {"params": params["vision_encoder"]}, image.astype(dtype)
+                )
+                img2 = jnp.concatenate([img_states, img_states], axis=0)
+                mapped = mapping_network.apply(
+                    {"params": params["mapping"]}, img2, text_states
+                ).astype(dtype)
+                text_states = jnp.concatenate([text_states, mapped], axis=1)
+            return text_states
+
+        def unet_eps(params, x, text_states, t_model, guidance_scale, scale_in):
+            xin = (jnp.concatenate([x, x], axis=0) * scale_in).astype(dtype)
+            pred = unet.apply(
+                {"params": params["unet"]}, xin,
+                jnp.broadcast_to(t_model, (2 * batch,)), text_states,
+            ).astype(jnp.float32)
+            return classifier_free_guidance(pred, guidance_scale)
+
+        if sample_method == "ddpm":
+            @jax.jit
+            def step_fn(params, x, text_states, t, pt, key, guidance):
+                eps = unet_eps(params, x, text_states, t, guidance, jnp.float32(1.0))
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(sub, x.shape, dtype=jnp.float32)
+                return ddpm_step(schedule, x, eps, t, pt, noise,
+                                 prediction_type=prediction_type), key
+        elif sample_method == "ddim":
+            @jax.jit
+            def step_fn(params, x, text_states, t, pt, key, guidance):
+                eps = unet_eps(params, x, text_states, t, guidance, jnp.float32(1.0))
+                return ddim_step(schedule, x, eps, t, pt,
+                                 prediction_type=prediction_type), key
+        else:
+            @jax.jit
+            def step_fn(params, x, text_states, t, sigma, sigma_next, key, guidance):
+                scale_in = (1.0 / jnp.sqrt(sigma**2 + 1.0)).astype(jnp.float32)
+                eps = unet_eps(params, x, text_states, t, guidance, scale_in)
+                return euler_step(x, eps, sigma, sigma_next,
+                                  prediction_type=prediction_type), key
+
+        @jax.jit
+        def decode_fn(params, x):
+            z = (x / scaling).astype(dtype).reshape(
+                (batch * video_length, lat_h, lat_w, x.shape[-1])
+            )
+            rgb = vae.apply({"params": params["vae"]}, z, method=AutoencoderKL.decode)
+            video = rgb.astype(jnp.float32).reshape(batch, video_length, height, width, 3)
+            video = jnp.clip(video / 2.0 + 0.5, 0.0, 1.0)
+            return jnp.round(video * 255.0).astype(jnp.uint8)
+
+        def sample_fn(params, token_ids, init_noise, noise_key, guidance, image=None):
+            if with_image:
+                text_states = text_fn(params, token_ids, image)
+            else:
+                text_states = text_fn(params, token_ids)
+            x = (init_noise * init_sigma).astype(jnp.float32)
+            key = noise_key
+            if sample_method in ("ddpm", "ddim"):
+                ts_arr, pts_arr = extras
+                for i in range(num_inference_steps):
+                    x, key = step_fn(
+                        params, x, text_states, jnp.int32(int(ts_arr[i])),
+                        jnp.int32(int(pts_arr[i])), key, guidance,
+                    )
+            else:
+                ts_arr, sigmas = extras
+                for i in range(num_inference_steps):
+                    x, key = step_fn(
+                        params, x, text_states, jnp.float32(ts_arr[i]),
+                        jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]),
+                        key, guidance,
+                    )
+            return decode_fn(params, x)
+
+        return sample_fn
+
+    # ------------------------------------------------------------------
     # public API (reference surface: VideoGenPipeline.__call__,
     # reference: base/pipelines/pipeline_videogen.py:512-695)
     # ------------------------------------------------------------------
@@ -402,12 +522,19 @@ class TextToVideoPipeline:
                 img = img[None]
             img = jnp.asarray(np.broadcast_to(img, (batch,) + img.shape[1:]))
 
-        cache_key = (batch, video_length, height, width, steps, method, decode_chunk, with_image)
+        cache_key = (batch, video_length, height, width, steps, method,
+                     decode_chunk, with_image, self.loop_mode)
         if cache_key not in self._compiled:
-            self._compiled[cache_key] = self._build_sampler(
-                batch, video_length, height, width, steps, method, cfg.eta,
-                decode_chunk, with_image=with_image,
-            )
+            if self.loop_mode == "python":
+                self._compiled[cache_key] = self._build_stepwise(
+                    batch, video_length, height, width, steps, method,
+                    decode_chunk, with_image,
+                )
+            else:
+                self._compiled[cache_key] = self._build_sampler(
+                    batch, video_length, height, width, steps, method, cfg.eta,
+                    decode_chunk, with_image=with_image,
+                )
         if with_image:
             video = self._compiled[cache_key](
                 self.params, token_ids, init_noise, noise_key, jnp.float32(guidance), img

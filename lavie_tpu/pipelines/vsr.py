@@ -67,7 +67,12 @@ class VideoSuperResolutionPipeline:
         decode_chunk: int = 4,
         mesh: Optional[Any] = None,
         split_cfg: bool = True,
+        loop_mode: Optional[str] = None,
     ):
+        import os as _os
+
+        # see DESIGN.md: "python" = step-level jit for slow-compile envs
+        self.loop_mode = loop_mode or _os.environ.get("LAVIE_LOOP_MODE", "scan")
         # split_cfg: evaluate the cond/uncond halves sequentially instead of a
         # doubled batch — same math, half the activation memory. Needed on one
         # v5e chip: the doubled batch at 8×320×512 latents wants 18.8G HBM
@@ -224,6 +229,77 @@ class VideoSuperResolutionPipeline:
 
     # ------------------------------------------------------------------
 
+    def _build_stepwise(self, batch: int, frames: int, height: int, width: int,
+                        num_inference_steps: int):
+        """Step-level jit variant (loop_mode='python'); same math as the
+        scanned sampler, always split-CFG."""
+        dtype = self.dtype
+        schedule = self.schedule
+        scaling = self.vae_config.scaling_factor
+        upscale = self.vae_config.downscale_factor
+        unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
+        decode_chunk = self.decode_chunk
+
+        ts = vsr_ddim_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
+        pts = prev_timesteps(ts, self.sampling.num_train_timesteps)
+
+        @jax.jit
+        def prep_fn(params, token_ids, frames_in, noise_level, key):
+            text_states = text_encoder.apply(
+                {"params": params["text_encoder"]}, token_ids
+            ).astype(dtype)
+            lr_key, lat_key = jax.random.split(key)
+            noise = jax.random.normal(lr_key, frames_in.shape, dtype=jnp.float32)
+            image = add_noise(
+                self.low_res_schedule, frames_in.astype(jnp.float32), noise,
+                jnp.broadcast_to(noise_level, (batch,)),
+            ).astype(dtype)
+            x = jax.random.normal(
+                lat_key, (batch, frames, height, width, 4), dtype=jnp.float32
+            )
+            return text_states, image, x
+
+        @jax.jit
+        def step_half(params, x, image_c, text_half, t, noise_level):
+            xin = jnp.concatenate([x.astype(dtype), image_c], axis=-1)
+            return unet.apply(
+                {"params": params["unet"]}, xin,
+                jnp.broadcast_to(t, (batch,)), text_half,
+                class_labels=jnp.broadcast_to(noise_level, (batch,)),
+            ).astype(jnp.float32)
+
+        @jax.jit
+        def combine_fn(x, pred_u, pred_c, t, pt, guidance):
+            v = pred_u + guidance * (pred_c - pred_u)
+            return ddim_step(schedule, x, v, t, pt, prediction_type="v_prediction")
+
+        @jax.jit
+        def decode_chunk_fn(params, z_chunk):
+            rgb = vae.apply(
+                {"params": params["vae"]}, z_chunk.astype(jnp.float32),
+                method=AutoencoderKL.decode,
+            ).astype(jnp.float32)
+            return jnp.clip(rgb, -1.0, 1.0)
+
+        def sample_fn(params, token_ids, frames_in, noise_level, guidance, key):
+            text_states, image_c, x = prep_fn(params, token_ids, frames_in, noise_level, key)
+            for i in range(len(ts)):
+                t = jnp.int32(int(ts[i]))
+                pred_u = step_half(params, x, image_c, text_states[:batch], t, noise_level)
+                pred_c = step_half(params, x, image_c, text_states[batch:], t, noise_level)
+                x = combine_fn(x, pred_u, pred_c, t, jnp.int32(int(pts[i])), guidance)
+            z = (x / scaling).reshape(batch * frames, height, width, 4)
+            n = batch * frames
+            outs = []
+            for i in range(0, n, decode_chunk):
+                outs.append(decode_chunk_fn(params, z[i : i + min(decode_chunk, n - i)]))
+            rgb = jnp.concatenate(outs, axis=0)
+            video = rgb.reshape(batch, frames, height * upscale, width * upscale, 3)
+            video = jnp.clip(video / 2 + 0.5, 0.0, 1.0)
+            return jnp.round(video * 255.0).astype(jnp.uint8)
+
+        return sample_fn
+
     def __call__(
         self,
         video: np.ndarray,  # (F, H, W, 3) uint8 or float [-1,1]
@@ -259,9 +335,12 @@ class VideoSuperResolutionPipeline:
             pad = win - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], axis=0)
-            cache_key = (1, win, height, width, steps)
+            cache_key = (1, win, height, width, steps, self.loop_mode)
             if cache_key not in self._compiled:
-                self._compiled[cache_key] = self._build_sampler(1, win, height, width, steps)
+                builder = (
+                    self._build_stepwise if self.loop_mode == "python" else self._build_sampler
+                )
+                self._compiled[cache_key] = builder(1, win, height, width, steps)
             key, sub = jax.random.split(key)
             chunk_in = jnp.asarray(chunk)[None]
             if self.mesh is not None:

@@ -53,6 +53,12 @@ class FinetuneConfig:
     lora_rank: int = 16
     lora_alpha: int = 16
     learning_rate: float = 1e-4
+    # "constant" | "cosine" (with warmup; reference: base/configs/sample.yaml
+    # lr_scheduler: cosine, lr_warmup_steps: 500 and the customized scheduler
+    # base/models/__init__.py:8-15)
+    lr_scheduler: str = "constant"
+    lr_warmup_steps: int = 0
+    max_train_steps: int = 10000
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_weight_decay: float = 1e-2
@@ -93,10 +99,26 @@ class LoRAFinetuner:
         self.cfg = config
         self.schedule = schedule or NoiseSchedule.create()
 
+        if config.lr_scheduler == "cosine":
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=config.learning_rate,
+                warmup_steps=max(config.lr_warmup_steps, 1),
+                decay_steps=max(config.max_train_steps, config.lr_warmup_steps + 1),
+            )
+        else:
+            lr = optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, config.learning_rate,
+                                          max(config.lr_warmup_steps, 1)),
+                    optax.constant_schedule(config.learning_rate),
+                ],
+                [max(config.lr_warmup_steps, 1)],
+            ) if config.lr_warmup_steps else config.learning_rate
         tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
             optax.adamw(
-                config.learning_rate,
+                lr,
                 b1=config.adam_beta1,
                 b2=config.adam_beta2,
                 eps=config.adam_epsilon,

@@ -60,3 +60,24 @@ class TestFlashMatchesXLA:
             np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.06
         )
         assert out.dtype == jnp.bfloat16
+
+
+class TestCrossLengthFlash:
+    def test_sparse_causal_kv_shape(self):
+        """Sk = 2·Sq (sparse-causal) must match the XLA reference."""
+        rng = np.random.RandomState(2)
+        b, sq, h, d = 1, 512, 2, 40
+        q = jnp.asarray(rng.randn(b, sq, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, 2 * sq, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, 2 * sq, h, d), jnp.float32)
+        scale = d**-0.5
+        ref = _xla_attention(q, k, v, None, scale)
+        out = flash_attention(q, k, v, scale=scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                                   rtol=1e-4)
+
+    def test_allow_padding_gate(self):
+        q = jnp.zeros((1, 2560, 8, 40))
+        k = jnp.zeros((1, 5120, 8, 40))
+        assert flash_supported_shape(q, k, allow_padding=True)
+        assert not flash_supported_shape(q, k)  # strict gate: padding + Sq!=Sk

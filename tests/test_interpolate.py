@@ -124,3 +124,15 @@ class TestMaskedInterpolation:
         with pytest.raises(AssertionError):
             tiny_tsr(video_in, "x", num_inference_steps=2, out_frames=13,
                      mask_type="tsr")
+
+
+class TestPythonLoopModeTSR:
+    def test_matches_scan(self, tiny_tsr):
+        video_in = (np.random.RandomState(5).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+        ref = tiny_tsr(video_in, "x", num_inference_steps=2, out_frames=13, seed=2).video
+        tiny_tsr.loop_mode = "python"
+        try:
+            out = tiny_tsr(video_in, "x", num_inference_steps=2, out_frames=13, seed=2).video
+        finally:
+            tiny_tsr.loop_mode = "scan"
+        np.testing.assert_array_equal(out, ref)

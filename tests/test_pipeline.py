@@ -132,3 +132,23 @@ class TestImageConditionedT2V:
         img = np.zeros((40, 40, 3), np.uint8)
         with pytest.raises(AssertionError):
             tiny_pipeline("x", image=img, num_inference_steps=2)
+
+
+class TestPythonLoopMode:
+    def test_matches_scan_mode(self, tiny_pipeline):
+        """The step-level-jit loop must produce identical output to the
+        scanned program (ddim, deterministic)."""
+        ref = tiny_pipeline("a cat", num_inference_steps=3, seed=5,
+                            sample_method="ddim").video
+        tiny_pipeline.loop_mode = "python"
+        try:
+            out = tiny_pipeline("a cat", num_inference_steps=3, seed=5,
+                                sample_method="ddim").video
+            out_e = tiny_pipeline("a cat", num_inference_steps=2, seed=5,
+                                  sample_method="eulerdiscrete").video
+            out_d = tiny_pipeline("a cat", num_inference_steps=2, seed=5,
+                                  sample_method="ddpm").video
+        finally:
+            tiny_pipeline.loop_mode = "scan"
+        np.testing.assert_array_equal(out, ref)
+        assert out_e.shape == ref.shape and out_d.shape == ref.shape
