@@ -98,7 +98,7 @@ def flash_supported_shape(
     alternative is materializing an O(Sq·Sk) score matrix that cannot fit
     (sparse-causal attention at 61 frames wants a 25.6 GB fp32 score tensor)."""
     seq_q, seq_k, d = q.shape[1], k.shape[1], q.shape[-1]
-    if seq_q < 1024 or d > 256:
+    if seq_q < 1024 or d > 512:
         return False
     if not allow_padding and (seq_q != seq_k or d % 128 != 0):
         return False

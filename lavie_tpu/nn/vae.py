@@ -66,10 +66,24 @@ class VAEAttentionBlock(nn.Module):
         q = nn.Dense(c, name="query", **common)(x)
         k = nn.Dense(c, name="key", **common)(x)
         v = nn.Dense(c, name="value", **common)(x)
-        scores = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores * (c**-0.5)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", probs, v)
+
+        # At the VSR decode resolution the single-head score matrix is
+        # S² = 163840² — hundreds of TB. Route big sequences through the flash
+        # kernel (the reference leans on xformers/torch-2.0 attention here,
+        # reference: pipeline...3d.py:745-755); short sequences stay fused XLA.
+        from lavie_tpu.kernels.attention import _on_tpu, dot_product_attention
+        from lavie_tpu.kernels.flash_attention import flash_supported_shape
+
+        q4 = q[:, :, None, :]
+        k4 = k[:, :, None, :]
+        v4 = v[:, :, None, :]
+        if _on_tpu() and h * w >= 4096 and flash_supported_shape(q4, k4, allow_padding=True):
+            out = dot_product_attention(q4, k4, v4, implementation="flash")[:, :, 0]
+        else:
+            scores = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+            scores = scores * (c**-0.5)
+            probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bqk,bkc->bqc", probs, v)
         out = nn.Dense(c, name="proj_attn", **common)(out)
         return out.reshape(n, h, w, c) + residual
 

@@ -64,7 +64,10 @@ class VideoSuperResolutionPipeline:
         dtype: Any = jnp.bfloat16,
         noise_level: int = 50,
         window: int = 8,
-        decode_chunk: int = 4,
+        # fp32 decode to 1280×2048 costs ~5 GB of norm activations PER FRAME;
+        # one v5e chip fits exactly one frame at a time (the reference's
+        # 4-frame chunks assume a 40 GB GPU, reference: …3d.py:757-771)
+        decode_chunk: int = 1,
         mesh: Optional[Any] = None,
         split_cfg: bool = True,
         loop_mode: Optional[str] = None,
