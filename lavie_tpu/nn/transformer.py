@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from lavie_tpu.nn.attention import Attention, SparseCausalAttention, TemporalAttention
@@ -19,18 +20,38 @@ from lavie_tpu.nn.layers import GroupNorm, fold_frames, unfold_frames
 Dtype = Any
 
 
+class _LayerNormCore(nn.Module):
+    """LayerNorm with fp32-accumulated statistics and native-dtype elementwise
+    math (no materialized fp32 activation copies — same rationale as
+    layers._GroupNormCore)."""
+
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = jnp.mean(x, axis=-1, dtype=jnp.float32, keepdims=True)
+        mean_sq = jnp.mean(
+            jnp.square(x.astype(jnp.float32)), axis=-1, dtype=jnp.float32, keepdims=True
+        )
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        xn = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+        return xn * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
 class LayerNorm(nn.Module):
-    """LayerNorm with fp32 statistics, cast back to the activation dtype."""
+    """LayerNorm with fp32 statistics, elementwise in the activation dtype.
+    Param paths stay `<name>/norm/{scale,bias}` for the converter."""
 
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        out = nn.LayerNorm(
-            epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32, name="norm"
-        )(x.astype(jnp.float32))
-        return out.astype(x.dtype)
+        return _LayerNormCore(epsilon=self.epsilon, name="norm")(x)
 
 
 class FeedForward(nn.Module):

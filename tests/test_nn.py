@@ -245,3 +245,38 @@ class TestJointImageVideoTraining:
                                    np.asarray(out2[f_video:]), atol=1e-6)
         # video frame 1 changed (temporal attention saw frame 0)
         assert not np.allclose(np.asarray(out[1]), np.asarray(out2[1]))
+
+
+class TestGroupNorm:
+    def test_matches_flax_groupnorm_fp32(self):
+        import flax.linen as fnn
+        from lavie_tpu.nn.layers import GroupNorm
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 3, 4, 4, 16) * 3 + 1, jnp.float32)
+        ours = GroupNorm(num_groups=4, epsilon=1e-5)
+        ref = fnn.GroupNorm(num_groups=4, epsilon=1e-5)
+        p_ours = ours.init(jax.random.PRNGKey(0), x)
+        p_ref = ref.init(jax.random.PRNGKey(0), x)
+        # copy nontrivial scale/bias into both
+        scale = jnp.asarray(rng.rand(16), jnp.float32) + 0.5
+        bias = jnp.asarray(rng.randn(16), jnp.float32)
+        p_ours = {"params": {"norm": {"scale": scale, "bias": bias}}}
+        p_ref = {"params": {"scale": scale, "bias": bias}}
+        np.testing.assert_allclose(
+            np.asarray(ours.apply(p_ours, x)), np.asarray(ref.apply(p_ref, x)),
+            atol=1e-4, rtol=1e-4,
+        )
+
+    def test_bf16_keeps_dtype_and_accuracy(self):
+        from lavie_tpu.nn.layers import GroupNorm
+
+        rng = np.random.RandomState(1)
+        x32 = jnp.asarray(rng.randn(2, 8, 8, 16) * 2 + 5, jnp.float32)
+        gn = GroupNorm(num_groups=4)
+        p = gn.init(jax.random.PRNGKey(0), x32)
+        ref = np.asarray(gn.apply(p, x32))
+        out = gn.apply(p, x32.astype(jnp.bfloat16))
+        assert out.dtype == jnp.bfloat16
+        # bf16 elementwise with fp32 stats: within bf16 resolution of fp32 ref
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref, atol=0.05)
