@@ -202,3 +202,51 @@ class AutoencoderKL(nn.Module):
 
     def sample_posterior(self, mean, logvar, rng):
         return mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+
+    def tiled_decode(self, z: jnp.ndarray, tile: int = 64, overlap: int = 16) -> jnp.ndarray:
+        """Decode in overlapping latent tiles with linear seam blending —
+        the reference's tiled codec (reference: vsr/models/autoencoder_kl.py:
+        214-307, blend_h/blend_v :204-212) for frames whose full decode does
+        not fit HBM. tile/overlap are in latent pixels."""
+        n, h, w, c = z.shape
+        if h <= tile and w <= tile:
+            return self.decode(z)
+        f = self.config.downscale_factor
+        stride = tile - overlap
+        out_h, out_w = h * f, w * f
+
+        rows = []
+        for i0 in range(0, max(h - overlap, 1), stride):
+            i1 = min(i0 + tile, h)
+            row = []
+            for j0 in range(0, max(w - overlap, 1), stride):
+                j1 = min(j0 + tile, w)
+                row.append((i0, i1, j0, j1, self.decode(z[:, i0:i1, j0:j1])))
+            rows.append(row)
+
+        canvas = jnp.zeros((n, out_h, out_w, self.config.out_channels), rows[0][0][4].dtype)
+        weight = jnp.zeros((1, out_h, out_w, 1), jnp.float32)
+        ov = overlap * f
+        for row in rows:
+            for (i0, i1, j0, j1, dec) in row:
+                th, tw = dec.shape[1], dec.shape[2]
+                # linear ramps on the overlapped edges
+                wy = jnp.ones((th,), jnp.float32)
+                wx = jnp.ones((tw,), jnp.float32)
+                ramp_y = (jnp.arange(ov) + 1) / (ov + 1)
+                ramp_x = (jnp.arange(ov) + 1) / (ov + 1)
+                if i0 > 0:
+                    wy = wy.at[:ov].set(ramp_y)
+                if i1 < h:
+                    wy = wy.at[-ov:].set(ramp_y[::-1])
+                if j0 > 0:
+                    wx = wx.at[:ov].set(ramp_x)
+                if j1 < w:
+                    wx = wx.at[-ov:].set(ramp_x[::-1])
+                wmap = (wy[:, None] * wx[None, :])[None, :, :, None]
+                y0, x0 = i0 * f, j0 * f
+                canvas = canvas.at[:, y0:y0 + th, x0:x0 + tw].add(
+                    dec * wmap.astype(dec.dtype)
+                )
+                weight = weight.at[:, y0:y0 + th, x0:x0 + tw].add(wmap)
+        return canvas / jnp.maximum(weight, 1e-8).astype(canvas.dtype)

@@ -280,3 +280,34 @@ class TestGroupNorm:
         assert out.dtype == jnp.bfloat16
         # bf16 elementwise with fp32 stats: within bf16 resolution of fp32 ref
         np.testing.assert_allclose(np.asarray(out, np.float32), ref, atol=0.05)
+
+
+class TestTiledDecode:
+    def test_tiled_matches_direct_within_tolerance(self):
+        from lavie_tpu.core.config import VAEConfig
+        from lavie_tpu.nn.vae import AutoencoderKL
+
+        cfg = VAEConfig.sd().tiny()
+        vae = AutoencoderKL(config=cfg)
+        params = vae.init(jax.random.PRNGKey(0), jnp.ones((1, 64, 64, 3)))["params"]
+        z = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 4), jnp.float32)
+        direct = vae.apply({"params": params}, z, method=AutoencoderKL.decode)
+        tiled = vae.apply(
+            {"params": params}, z, 8, 4, method=AutoencoderKL.tiled_decode
+        )
+        assert tiled.shape == direct.shape
+        # seams differ from receptive-field truncation; bulk must agree
+        diff = np.abs(np.asarray(tiled) - np.asarray(direct))
+        assert np.median(diff) < 0.15 and np.isfinite(diff).all()
+
+    def test_small_input_short_circuits(self):
+        from lavie_tpu.core.config import VAEConfig
+        from lavie_tpu.nn.vae import AutoencoderKL
+
+        cfg = VAEConfig.sd().tiny()
+        vae = AutoencoderKL(config=cfg)
+        params = vae.init(jax.random.PRNGKey(0), jnp.ones((1, 64, 64, 3)))["params"]
+        z = jnp.ones((1, 8, 8, 4))
+        direct = vae.apply({"params": params}, z, method=AutoencoderKL.decode)
+        tiled = vae.apply({"params": params}, z, 64, 16, method=AutoencoderKL.tiled_decode)
+        np.testing.assert_array_equal(np.asarray(tiled), np.asarray(direct))
