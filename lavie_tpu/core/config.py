@@ -81,6 +81,12 @@ class UNetConfig:
     # down/mid/up block (VSR; reference vsr/models/temporal_module.py:65-178).
     use_temporal_modules: bool = False
     temporal_module_kernels: Tuple[int, ...] = (5, 3)
+    # optional VersatileSelfAttention branch inside each temporal module —
+    # the shipped reference config disables it with ("", "")
+    # (reference: vsr/configs/unet_3d_config.json:52-55)
+    temporal_module_attention_types: Tuple[str, str] = ("", "")
+    temporal_module_cross_frame_mode: str = "0_i-1_i"
+    temporal_module_shift_fold_div: int = 2
 
     @property
     def time_embed_dim(self) -> int:

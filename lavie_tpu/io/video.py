@@ -49,6 +49,25 @@ def write_video(path: str, frames: np.ndarray, fps: int = 8, quality: int = 9) -
         return alt
 
 
+def save_video_grid(
+    path: str, videos: "list[np.ndarray]", fps: int = 8, cols: Optional[int] = None
+) -> str:
+    """Tile multiple (F, H, W, 3) uint8 videos into one grid video
+    (reference: interpolation/utils.py:253-271)."""
+    import math
+
+    n = len(videos)
+    assert n > 0
+    f, h, w, c = videos[0].shape
+    cols = cols or int(math.ceil(math.sqrt(n)))
+    rows = int(math.ceil(n / cols))
+    grid = np.zeros((f, rows * h, cols * w, c), dtype=np.uint8)
+    for i, v in enumerate(videos):
+        r, cc = divmod(i, cols)
+        grid[:, r * h:(r + 1) * h, cc * w:(cc + 1) * w] = v[:f]
+    return write_video(path, grid, fps=fps)
+
+
 def read_video(path: str, max_frames: Optional[int] = None) -> np.ndarray:
     """Returns (F, H, W, 3) uint8. Reads mp4 via imageio, or .npy fallback."""
     if path.endswith(".npy"):

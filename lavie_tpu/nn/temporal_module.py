@@ -29,11 +29,22 @@ class TemporalModule3D(nn.Module):
     channels: int
     temb_channels: int
     norm_num_groups: int = 32
+    # optional VersatileSelfAttention branch (disabled in the shipped config)
+    attention_block_types: tuple = ("", "")
+    cross_frame_attention_mode: str = "0_i-1_i"
+    temporal_shift_fold_div: int = 2
+    attention_dim_div: int = 2
+    num_attention_heads: int = 8
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        temb: Optional[jnp.ndarray],
+        timesteps: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         h = ResnetBlock3DCNN(
             in_channels=self.channels,
@@ -52,6 +63,29 @@ class TemporalModule3D(nn.Module):
             name="resblocks_3d_s",
             **common,
         )(h, temb)
+
+        if any(self.attention_block_types):
+            # versatile attention branch (reference: temporal_module.py:118-141;
+            # head_dim = C / heads / attention_dim_div)
+            from lavie_tpu.nn.versatile_attention import TemporalTransformerBlock
+
+            b, f, hh, ww, c = h.shape
+            tokens = h.reshape(b * f, hh * ww, c)
+            ts = timesteps
+            if ts is None:
+                ts = jnp.zeros((b,), jnp.int32)
+            ts = jnp.repeat(ts, f, axis=0)
+            tokens = TemporalTransformerBlock(
+                dim=c,
+                heads=self.num_attention_heads,
+                head_dim=max(c // self.num_attention_heads // self.attention_dim_div, 1),
+                attention_block_types=tuple(self.attention_block_types),
+                cross_frame_attention_mode=self.cross_frame_attention_mode,
+                temporal_shift_fold_div=self.temporal_shift_fold_div,
+                name="attentions_0",
+                **common,
+            )(tokens, ts, video_length=f)
+            h = tokens.reshape(b, f, hh, ww, c)
         # zero-init shift conv: residual is a no-op at init
         h = InflatedConv(
             self.channels,

@@ -366,6 +366,10 @@ class UNet3D(nn.Module):
                 channels=ch,
                 temb_channels=cfg.time_embed_dim,
                 norm_num_groups=cfg.norm_num_groups,
+                attention_block_types=cfg.temporal_module_attention_types,
+                cross_frame_attention_mode=cfg.temporal_module_cross_frame_mode,
+                temporal_shift_fold_div=cfg.temporal_module_shift_fold_div,
+                num_attention_heads=cfg.num_attention_heads,
                 **common,
             )
             self.down_temporal_blocks = [tm(boc[i]) for i in range(len(cfg.down_block_types))]
@@ -453,12 +457,12 @@ class UNet3D(nn.Module):
                 sample, res = block(sample, emb)
             res_stack.extend(res)
             if self.down_temporal_blocks is not None:
-                sample = self.down_temporal_blocks[i](sample, emb)
+                sample = self.down_temporal_blocks[i](sample, emb, timesteps)
 
         # mid
         sample = self.mid_block(sample, emb, encoder_hidden_states, image_frames)
         if self.mid_temporal_block is not None:
-            sample = self.mid_temporal_block(sample, emb)
+            sample = self.mid_temporal_block(sample, emb, timesteps)
 
         # up
         for i, block in enumerate(self.up_blocks):
@@ -470,7 +474,7 @@ class UNet3D(nn.Module):
             else:
                 sample = block(sample, list(res), emb)
             if self.up_temporal_blocks is not None:
-                sample = self.up_temporal_blocks[i](sample, emb)
+                sample = self.up_temporal_blocks[i](sample, emb, timesteps)
 
         sample = self.conv_norm_out(sample)
         sample = nn.silu(sample)

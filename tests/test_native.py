@@ -53,3 +53,16 @@ class TestMJPEGCodec:
         assert out.endswith((".mp4", ".avi"))  # mp4 only if ffmpeg exists
         back = read_video(out)
         assert back.shape == (2, 16, 16, 3)
+
+
+class TestVideoGrid:
+    def test_grid_layout(self, tmp_path):
+        from lavie_tpu.io.video import read_video, save_video_grid
+
+        vids = [np.full((2, 8, 8, 3), i * 60, np.uint8) for i in range(3)]
+        out = save_video_grid(str(tmp_path / "grid.mp4"), vids, fps=4)
+        back = read_video(out)
+        assert back.shape[1:] == (16, 16, 3)  # 2x2 grid of 8x8
+        assert abs(int(back[0, 0, 0, 0]) - 0) <= 3         # video 0 top-left
+        assert abs(int(back[0, 0, 12, 0]) - 60) <= 3       # video 1 top-right
+        assert abs(int(back[0, 12, 0, 0]) - 120) <= 3      # video 2 bottom-left

@@ -311,3 +311,58 @@ class TestTiledDecode:
         direct = vae.apply({"params": params}, z, method=AutoencoderKL.decode)
         tiled = vae.apply({"params": params}, z, 64, 16, method=AutoencoderKL.tiled_decode)
         np.testing.assert_array_equal(np.asarray(tiled), np.asarray(direct))
+
+
+class TestVersatileAttention:
+    def test_all_modes_run(self):
+        from lavie_tpu.nn.versatile_attention import VersatileSelfAttention
+
+        f, s, c = 4, 6, 16
+        x = jnp.asarray(np.random.RandomState(0).randn(f, s, c), jnp.float32)
+        for mode, cf in (("Temporal", None), ("Spatial", None),
+                         ("CrossFrame", "0_i-1_i"), ("SpatialTemporalShift", None)):
+            m = VersatileSelfAttention(query_dim=c, heads=2, head_dim=8,
+                                       attention_mode=mode,
+                                       cross_frame_attention_mode=cf)
+            p = m.init(jax.random.PRNGKey(0), x, video_length=f)
+            out = m.apply(p, x, video_length=f)
+            assert out.shape == x.shape, mode
+
+    def test_cross_frame_kv_width(self):
+        from lavie_tpu.nn.versatile_attention import _frame_select
+
+        x = jnp.arange(2 * 4 * 3 * 2, dtype=jnp.float32).reshape(2, 4, 3, 2)
+        out3 = _frame_select(x, "0_i-1_i")
+        assert out3.shape == (2, 4, 9, 2)
+        out2 = _frame_select(x, "i-1_i")
+        assert out2.shape == (2, 4, 6, 2)
+        # frame 0: former == current == frame 0
+        np.testing.assert_array_equal(np.asarray(out2[:, 0, :3]), np.asarray(x[:, 0]))
+        np.testing.assert_array_equal(np.asarray(out2[:, 0, 3:]), np.asarray(x[:, 0]))
+
+    def test_temporal_transformer_block_with_adanorm(self):
+        from lavie_tpu.nn.versatile_attention import TemporalTransformerBlock
+
+        m = TemporalTransformerBlock(
+            dim=16, heads=2, head_dim=8,
+            attention_block_types=("Temporal", "CrossFrame"),
+            cross_frame_attention_mode="0_i-1_i",
+        )
+        x = jnp.asarray(np.random.RandomState(0).randn(4, 6, 16), jnp.float32)
+        t = jnp.array([500])
+        p = m.init(jax.random.PRNGKey(0), x, t, video_length=4)
+        a = m.apply(p, x, t, video_length=4)
+        b = m.apply(p, x, jnp.array([10]), video_length=4)
+        assert a.shape == x.shape
+        assert not np.array_equal(np.asarray(a), np.asarray(b))  # timestep-conditioned
+
+    def test_bilinear_warp_identity_and_shift(self):
+        from lavie_tpu.nn.versatile_attention import bilinear_warp
+
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 5, 6, 3), jnp.float32)
+        zero = jnp.zeros((1, 5, 6, 2))
+        np.testing.assert_allclose(np.asarray(bilinear_warp(x, zero)), np.asarray(x), atol=1e-6)
+        # integer shift by +1 in x: out[.., j] = x[.., j+1] (clamped at edge)
+        flow = jnp.zeros((1, 5, 6, 2)).at[..., 0].set(1.0)
+        out = np.asarray(bilinear_warp(x, flow))
+        np.testing.assert_allclose(out[:, :, :-1], np.asarray(x)[:, :, 1:], atol=1e-6)

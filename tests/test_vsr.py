@@ -111,3 +111,22 @@ class TestPythonLoopModeVSR:
         # flip LSB rounding on a handful of pixels
         diff = np.abs(out.astype(int) - ref.astype(int))
         assert diff.max() <= 2 and (diff > 0).mean() < 0.01
+
+
+class TestVSRWithVersatileAttention:
+    def test_unet_with_attention_temporal_modules(self):
+        """The stretch config: temporal modules with the versatile attention
+        branch enabled (the reference schema's cross_frame '0_i-1_i' mode)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            UNetConfig.vsr().tiny(),
+            temporal_module_attention_types=("Temporal", "CrossFrame"),
+        )
+        model = UNet3D(config=cfg)
+        x = jnp.ones((1, 2, 16, 16, 7))
+        ctx = jnp.ones((1, 7, cfg.cross_attention_dim))
+        nl = jnp.array([50])
+        params = model.init(jax.random.PRNGKey(0), x, jnp.array([10]), ctx, nl)
+        out = model.apply(params, x, jnp.array([10]), ctx, nl)
+        assert out.shape == (1, 2, 16, 16, 4)
