@@ -39,3 +39,26 @@ class TestCascade:
             video_length=2, height=64, width=64, num_inference_steps=2, seed=0,
         )
         assert out.video.shape == (2, 64, 64, 3)
+
+
+class TestPredictor:
+    def test_serve_predictor_surface(self, tmp_path):
+        """The Cog-equivalent serving entry (reference: predict.py:45-340)."""
+        import jax.numpy as jnp
+
+        from lavie_tpu.serve import Predictor
+
+        p = Predictor()
+        p.setup(tiny=True)
+        # cast all stage pipelines to fp32 already default bf16 on CPU is fine
+        out_path = p.predict(
+            "a cat", output_path=str(tmp_path / "out.mp4"),
+            video_length=2, height=64, width=64, num_inference_steps=2,
+            sample_method="ddim", seed=1,
+        )
+        import os
+
+        assert os.path.exists(out_path)
+        from lavie_tpu.io.video import read_video
+
+        assert read_video(out_path).shape == (2, 64, 64, 3)

@@ -158,3 +158,42 @@ class TestRoundTrip:
             hf_sd["text_model." + k] = v
         restored = convert_clip_text(params, hf_sd)
         tree_equal(params, restored)
+
+
+class TestVSRConversion:
+    def test_vsr_unet_roundtrip_with_temporal_modules(self):
+        """VSR UNet incl. down/mid/up temporal modules (3D conv kernels,
+        shift convs) must round-trip through the torch key mapping."""
+        cfg = UNetConfig.vsr().tiny()
+        model = UNet3D(config=cfg)
+        x = jnp.ones((1, 2, 16, 16, 7))
+        params = model.init(
+            jax.random.PRNGKey(0), x, jnp.array([1]),
+            jnp.ones((1, 7, cfg.cross_attention_dim)), jnp.array([5]),
+        )["params"]
+        sd = export_state_dict(params)
+        assert "down_temporal_blocks.0.resblocks_3d_t.conv1.weight" in sd
+        assert "mid_temporal_block.shift_conv.weight" in sd
+        assert "class_embedding.weight" in sd
+        # 3D conv kernels transpose (O,I,kf,kh,kw) <-> (kf,kh,kw,I,O)
+        assert sd["down_temporal_blocks.0.resblocks_3d_t.conv1.weight"].ndim == 5
+        restored = convert_state_dict(params, sd)
+        tree_equal(params, restored)
+
+    def test_vsr_2d_checkpoint_keeps_temporal_init(self):
+        """An x4-upscaler 2D checkpoint (no temporal keys) loads with fresh
+        temporal modules (reference freeze_pretrained_2d_upsampler flow,
+        vsr/models/unet.py:633-645)."""
+        cfg = UNetConfig.vsr().tiny()
+        model = UNet3D(config=cfg)
+        x = jnp.ones((1, 2, 16, 16, 7))
+        params = model.init(
+            jax.random.PRNGKey(0), x, jnp.array([1]),
+            jnp.ones((1, 7, cfg.cross_attention_dim)), jnp.array([5]),
+        )["params"]
+        sd = export_state_dict(params)
+        sd_2d = {k: v for k, v in sd.items()
+                 if "temporal_block" not in k and "attn_temp" not in k
+                 and "norm_temp" not in k}
+        restored = convert_state_dict(params, sd_2d)
+        tree_equal(params, restored)
