@@ -73,6 +73,67 @@ def diffusion_loss(
     return jnp.mean(per_sample)
 
 
+def conditioned_diffusion_loss(
+    apply_fn: Callable,
+    params,
+    schedule: NoiseSchedule,
+    latents: jnp.ndarray,  # (B, F, h, w, 4) clean video latents
+    cond: jnp.ndarray,  # (B, F, h, w, Cc) conditioning channels (copied video / low-res)
+    text_states: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    mask: Optional[jnp.ndarray] = None,  # (B, F, h, w, 1); 1 = generate, 0 = known
+    t: Optional[jnp.ndarray] = None,
+    loss_weights: Optional[jnp.ndarray] = None,  # importance weights (timestep_sampler)
+    noise_aug_schedule: Optional[NoiseSchedule] = None,
+    max_aug_level: int = 200,
+    prediction_type: str = "epsilon",
+    model_kwargs: Optional[Dict[str, Any]] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Interpolation/VSR-style training loss with channel-concat conditioning.
+
+    Mirrors the vendored OpenAI `training_losses`
+    (reference: interpolation/diffusion/gaussian_diffusion.py:813-914):
+    conditioning channels stay UN-noised in the model input (:831), optional
+    known-frame mask blending (:835-836), optional noise augmentation of the
+    conditioning at a random small t_head (:839-847), and the MSE is taken on
+    the first 4 (latent) channels only (:905).
+
+    Returns (scalar loss, aux) where aux carries per-sample (t, loss) for
+    loss-aware timestep resampling (train/timestep_sampler.py).
+    """
+    b = latents.shape[0]
+    t_key, n_key, aug_key = jax.random.split(rng, 3)
+    if t is None:
+        t = jax.random.randint(t_key, (b,), 0, schedule.num_train_timesteps)
+    noise = jax.random.normal(n_key, latents.shape, dtype=latents.dtype)
+    x_t = add_noise(schedule, latents, noise, t)
+    if mask is not None:
+        # model may see the known frames clean (reference :835-836)
+        x_t = x_t * mask + latents * (1.0 - mask)
+    if noise_aug_schedule is not None:
+        from lavie_tpu.diffusion.noise_aug import augment_conditioning
+
+        cond, _ = augment_conditioning(
+            noise_aug_schedule, cond, aug_key, max_noise_level=max_aug_level
+        )
+        if mask is not None:
+            # zero augmented noise on known slots (reference :845-846)
+            cond = cond * mask
+    parts = [x_t] if mask is None else [x_t, mask.astype(x_t.dtype)]
+    model_in = jnp.concatenate(parts + [cond.astype(x_t.dtype)], axis=-1)
+    target = noise if prediction_type == "epsilon" else get_velocity(schedule, latents, noise, t)
+    pred = apply_fn(
+        {"params": params}, model_in, t, text_states, **(model_kwargs or {})
+    ).astype(jnp.float32)
+    per_sample = jnp.mean(
+        (pred - target.astype(jnp.float32)) ** 2, axis=tuple(range(1, pred.ndim))
+    )
+    if loss_weights is not None:
+        per_sample = per_sample * loss_weights
+    return jnp.mean(per_sample), {"t": t, "per_sample_loss": per_sample}
+
+
 def make_train_step(
     apply_fn: Callable,
     schedule: NoiseSchedule,
