@@ -26,13 +26,28 @@ def load_pipeline_params(
     init_params: Dict[str, Any],
     unet_ckpt: Optional[str] = None,
     sd_path: Optional[str] = None,
+    unet_config: Optional[Any] = None,
 ) -> Dict[str, Any]:
     """Fill a pipeline params tree {"unet","vae","text_encoder"} from torch
-    checkpoints. Any missing piece keeps its fresh init."""
+    checkpoints. Any missing piece keeps its fresh init.
+
+    When `unet_config` is given and its temporal attention is rope-based, the
+    temporal to_q/to_k columns are re-based from the reference's interleaved
+    RoPE layout to the TPU half-split layout (convert.permute_rope_channels)."""
     params = dict(init_params)
     if unet_ckpt and os.path.exists(unet_ckpt):
         sd = load_torch_state_dict(unet_ckpt)
         params["unet"] = convert_state_dict(init_params["unet"], sd)
+        if unet_config is not None and getattr(
+            unet_config, "temporal_attention", None
+        ) == "rope_relbias":
+            from lavie_tpu.io.convert import permute_rope_channels
+
+            params["unet"] = permute_rope_channels(
+                params["unet"],
+                heads=unet_config.num_attention_heads,
+                rot_dim=unet_config.rope_dim,
+            )
     if sd_path:
         vae_bin = _find_weights(os.path.join(sd_path, "vae"))
         if vae_bin:

@@ -202,6 +202,44 @@ def convert_state_dict(
     return nested
 
 
+def permute_rope_channels(
+    unet_params: Mapping[str, Any], heads: int, rot_dim: int
+) -> Dict[str, Any]:
+    """Permute every temporal attention's to_q/to_k projection columns from
+    the reference's interleaved RoPE layout to the half-split layout used by
+    nn.embeddings.apply_rope_half. Attention scores are invariant to a shared
+    q/k channel permutation, so this is a pure re-basis — outputs unchanged.
+
+    Apply ONLY to weights converted from torch checkpoints that were trained
+    with interleaved RoPE (rotary_embedding_torch,
+    reference: base/models/unet.py:185, base/models/attention.py:644-646)."""
+    from lavie_tpu.nn.embeddings import rope_channel_permutation
+
+    def walk(node, inside_temp: bool):
+        if not isinstance(node, Mapping):
+            return node
+        out = {}
+        for name, child in node.items():
+            is_temp = name == "attn_temp"
+            if (
+                inside_temp
+                and name in ("to_q", "to_k")
+                and isinstance(child, Mapping)
+                and "kernel" in child
+            ):
+                kern = np.asarray(child["kernel"])  # (I, O) with O = heads·hd
+                o = kern.shape[-1]
+                hd = o // heads
+                perm = rope_channel_permutation(hd, min(rot_dim, hd))
+                full = np.concatenate([perm + h * hd for h in range(heads)])
+                out[name] = {**child, "kernel": jnp.asarray(kern[:, full])}
+            else:
+                out[name] = walk(child, inside_temp or is_temp)
+        return out
+
+    return walk(unet_params, False)
+
+
 def convert_clip_text(
     init_params: Mapping[str, Any], state_dict: Mapping[str, np.ndarray]
 ) -> Dict[str, Any]:

@@ -24,9 +24,9 @@ import numpy as np
 
 from lavie_tpu.kernels import dot_product_attention
 from lavie_tpu.nn.embeddings import (
-    apply_rope,
+    apply_rope_half,
     relative_position_buckets,
-    rope_frequencies,
+    rope_half_frequencies,
 )
 
 Dtype = Any
@@ -171,11 +171,15 @@ class TemporalAttention(nn.Module):
         v = self.to_v(hidden_states).reshape(b, f, self.heads, self.head_dim)
 
         if self.variant == "rope_relbias":
-            cos_np, sin_np = rope_frequencies(f, min(self.rope_dim, self.head_dim))
-            cos = jnp.asarray(cos_np, dtype=q.dtype)[:, None, :]  # (f, 1, rot)
+            # half-split RoPE: channels are in the permuted (half-split)
+            # basis — torch checkpoints get their to_q/to_k columns permuted
+            # by the converter (io.convert.permute_rope_channels); freshly
+            # initialized/trained weights simply live in this basis
+            cos_np, sin_np = rope_half_frequencies(f, min(self.rope_dim, self.head_dim))
+            cos = jnp.asarray(cos_np, dtype=q.dtype)[:, None, :]  # (f, 1, rot/2)
             sin = jnp.asarray(sin_np, dtype=q.dtype)[:, None, :]
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
+            q = apply_rope_half(q, cos, sin)
+            k = apply_rope_half(k, cos, sin)
             bias = self.time_rel_pos_bias(f)  # (heads, f, f)
             out = dot_product_attention(q, k, v, bias=bias)
         else:

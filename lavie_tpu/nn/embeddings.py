@@ -65,6 +65,44 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return jnp.concatenate([x_rot, x_pass], axis=-1)
 
 
+def rope_half_frequencies(
+    seq_len: int, rot_dim: int, theta: float = 10000.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """cos/sin tables of shape (seq_len, rot_dim/2): one entry per rotation
+    pair, for the half-split channel layout (see apply_rope_half)."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, rot_dim, 2, dtype=np.float64) / rot_dim))
+    freqs = np.outer(np.arange(seq_len, dtype=np.float64), inv_freq)
+    return np.cos(freqs).astype(np.float32), np.sin(freqs).astype(np.float32)
+
+
+def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """RoPE in the half-split channel layout: rotation pair j = channels
+    (j, rot/2+j) instead of the interleaved (2j, 2j+1).
+
+    Mathematically identical to apply_rope after a static per-head channel
+    permutation of q AND k (attention scores are invariant to a shared q/k
+    channel permutation); the permutation is folded into the to_q/to_k
+    projection weights at conversion time
+    (io.convert.permute_rope_channels). The win is TPU lane layout: the
+    interleaved form needs strided even/odd gathers + stack + concat on the
+    minor dim (measured 2×4.5 ms per VSR 512-ch block); this form is
+    contiguous slices and elementwise math (measured 2×1.7 ms)."""
+    half = cos.shape[-1]
+    a, b, x_pass = x[..., :half], x[..., half : 2 * half], x[..., 2 * half :]
+    ra = a * cos - b * sin
+    rb = b * cos + a * sin
+    return jnp.concatenate([ra, rb, x_pass], axis=-1)
+
+
+def rope_channel_permutation(head_dim: int, rot_dim: int) -> np.ndarray:
+    """Permutation p such that x_half[..., i] = x_interleaved[..., p[i]]:
+    evens of the rotated span, then odds, then the pass-through tail."""
+    evens = np.arange(0, rot_dim, 2)
+    odds = np.arange(1, rot_dim, 2)
+    tail = np.arange(rot_dim, head_dim)
+    return np.concatenate([evens, odds, tail])
+
+
 def relative_position_buckets(
     n: int, num_buckets: int = 32, max_distance: int = 128
 ) -> np.ndarray:

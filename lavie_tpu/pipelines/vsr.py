@@ -71,6 +71,7 @@ class VideoSuperResolutionPipeline:
         mesh: Optional[Any] = None,
         split_cfg: bool = True,
         loop_mode: Optional[str] = None,
+        window_batch: int = 1,
     ):
         import os as _os
 
@@ -82,6 +83,8 @@ class VideoSuperResolutionPipeline:
         # (measured); split it fits. Multi-chip meshes can set False.
         self.split_cfg = split_cfg
         self.mesh = mesh
+        # windows per batched program; a dp mesh raises this to the dp size
+        self.window_batch = window_batch
         assert unet_config.in_channels == 7, "VSR UNet takes 4 latent + 3 RGB channels"
         self.unet_config = unet_config
         self.vae_config = vae_config
@@ -208,23 +211,25 @@ class VideoSuperResolutionPipeline:
 
             x, _ = jax.lax.scan(body, x, (ts_arr, pts_arr))
 
-            # fp32 VAE decode in small frame chunks
+            # fp32 VAE decode in small FRAME chunks with the batch (window)
+            # axis preserved — on a dp mesh each chip decodes its own window
+            # locally, no cross-chip gathers
             # (reference: …:741-771 decodes fp32, 4 frames at a time)
-            z = (x / scaling).astype(jnp.float32).reshape(batch * frames, height, width, 4)
-            n = batch * frames
+            z = (x / scaling).astype(jnp.float32)  # (B, F, h, w, 4)
             chunks = []
-            for i in range(0, n, decode_chunk):
-                c = min(decode_chunk, n - i)
+            for i in range(0, frames, decode_chunk):
+                c = min(decode_chunk, frames - i)
+                zc = jax.lax.dynamic_slice_in_dim(z, i, c, 1)
+                rgb_c = vae.apply(
+                    {"params": params["vae"]},
+                    zc.reshape(batch * c, height, width, 4),
+                    method=AutoencoderKL.decode,
+                ).astype(jnp.float32)
                 chunks.append(
-                    vae.apply(
-                        {"params": params["vae"]},
-                        jax.lax.dynamic_slice_in_dim(z, i, c, 0),
-                        method=AutoencoderKL.decode,
-                    ).astype(jnp.float32)
+                    rgb_c.reshape(batch, c, height * upscale, width * upscale, 3)
                 )
-            rgb = jnp.concatenate(chunks, axis=0)
-            rgb = jnp.clip(rgb, -1.0, 1.0)
-            video = rgb.reshape(batch, frames, height * upscale, width * upscale, 3)
+            rgb = jnp.concatenate(chunks, axis=1)
+            video = jnp.clip(rgb, -1.0, 1.0)
             video = jnp.clip(video / 2 + 0.5, 0.0, 1.0)
             return jnp.round(video * 255.0).astype(jnp.uint8)
 
@@ -291,13 +296,17 @@ class VideoSuperResolutionPipeline:
                 pred_u = step_half(params, x, image_c, text_states[:batch], t, noise_level)
                 pred_c = step_half(params, x, image_c, text_states[batch:], t, noise_level)
                 x = combine_fn(x, pred_u, pred_c, t, jnp.int32(int(pts[i])), guidance)
-            z = (x / scaling).reshape(batch * frames, height, width, 4)
-            n = batch * frames
+            z = x / scaling  # (B, F, h, w, 4)
             outs = []
-            for i in range(0, n, decode_chunk):
-                outs.append(decode_chunk_fn(params, z[i : i + min(decode_chunk, n - i)]))
-            rgb = jnp.concatenate(outs, axis=0)
-            video = rgb.reshape(batch, frames, height * upscale, width * upscale, 3)
+            for i in range(0, frames, decode_chunk):
+                c = min(decode_chunk, frames - i)
+                rgb_c = decode_chunk_fn(
+                    params, z[:, i : i + c].reshape(batch * c, height, width, 4)
+                )
+                outs.append(
+                    rgb_c.reshape(batch, c, height * upscale, width * upscale, 3)
+                )
+            video = jnp.concatenate(outs, axis=1)
             video = jnp.clip(video / 2 + 0.5, 0.0, 1.0)
             return jnp.round(video * 255.0).astype(jnp.uint8)
 
@@ -323,38 +332,68 @@ class VideoSuperResolutionPipeline:
             frames = (frames - 0.5) * 2.0
         total, height, width, _ = frames.shape
 
-        token_ids = jnp.asarray(
-            np.concatenate([self.tokenizer([negative_prompt]), self.tokenizer([prompt])], axis=0)
-        )
         key = jax.random.PRNGKey(seed)
 
-        # process in fixed-size windows; pad the tail window and trim after
-        # (the reference's last window is shape-dynamic — XLA wants static)
+        # split into fixed-size windows; pad the tail window and trim after
+        # (the reference's last window is shape-dynamic — XLA wants static,
+        # reference: vsr/sample.py:100-119)
         win = min(self.window, total)
-        outs = []
+        chunks = []
+        spans = []
         for start in range(0, total, win):
             end = min(total, start + win)
             chunk = frames[start:end]
             pad = win - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], axis=0)
-            cache_key = (1, win, height, width, steps, self.loop_mode)
+            chunks.append(chunk)
+            spans.append((start, end))
+
+        # Windows are independent — the natural multi-chip axis. On a dp mesh
+        # all windows run as ONE batched program, sharded over chips; XLA
+        # needs no cross-window collectives (the video analog of data
+        # parallelism; the reference runs them serially on one GPU).
+        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+        group = max(dp, self.window_batch, 1)
+        outs = [None] * len(chunks)
+        for g0 in range(0, len(chunks), group):
+            batch_chunks = chunks[g0 : g0 + group]
+            n_real = len(batch_chunks)
+            while len(batch_chunks) < group:  # pad the window batch for dp
+                batch_chunks.append(batch_chunks[-1])
+            bsz = len(batch_chunks)
+            cache_key = (bsz, win, height, width, steps, self.loop_mode)
             if cache_key not in self._compiled:
                 builder = (
                     self._build_stepwise if self.loop_mode == "python" else self._build_sampler
                 )
-                self._compiled[cache_key] = builder(1, win, height, width, steps)
+                self._compiled[cache_key] = builder(bsz, win, height, width, steps)
+            token_ids = jnp.asarray(
+                np.concatenate(
+                    [
+                        np.repeat(self.tokenizer([negative_prompt]), bsz, axis=0),
+                        np.repeat(self.tokenizer([prompt]), bsz, axis=0),
+                    ],
+                    axis=0,
+                )
+            )
             key, sub = jax.random.split(key)
-            chunk_in = jnp.asarray(chunk)[None]
+            batch_in = jnp.asarray(np.stack(batch_chunks))
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                spec = P(None, "sp" if win % self.mesh.shape.get("sp", 1) == 0 else None)
-                chunk_in = jax.device_put(chunk_in, NamedSharding(self.mesh, spec))
-            out = self._compiled[cache_key](
-                self.params, token_ids, chunk_in,
-                jnp.int32(nl), jnp.float32(guidance), sub,
+                spec = P(
+                    "dp" if bsz % max(self.mesh.shape.get("dp", 1), 1) == 0 else None,
+                    "sp" if win % max(self.mesh.shape.get("sp", 1), 1) == 0 else None,
+                )
+                batch_in = jax.device_put(batch_in, NamedSharding(self.mesh, spec))
+            out = np.asarray(
+                self._compiled[cache_key](
+                    self.params, token_ids, batch_in,
+                    jnp.int32(nl), jnp.float32(guidance), sub,
+                )
             )
-            out = np.asarray(out)[0]
-            outs.append(out[: end - start])
+            for j in range(n_real):
+                start, end = spans[g0 + j]
+                outs[g0 + j] = out[j][: end - start]
         return VSROutput(video=np.concatenate(outs, axis=0))

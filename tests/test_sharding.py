@@ -75,6 +75,41 @@ class TestShardedPipeline:
                            sample_method="ddim").video
         np.testing.assert_array_equal(out, ref)
 
+    def test_window_dp_sharded_vsr_matches_unsharded(self, mesh):
+        """VSR windows are independent — on a dp mesh they run as one batched
+        program sharded over chips. Must equal the meshless run with the same
+        window batching (sharding is layout, not math)."""
+        import jax.numpy as jnp
+
+        from lavie_tpu.core.config import CLIPTextConfig, VAEConfig
+        from lavie_tpu.pipelines.vsr import VideoSuperResolutionPipeline
+
+        kwargs = dict(
+            unet_config=UNetConfig.vsr().tiny(),
+            vae_config=VAEConfig.vsr().tiny(),
+            text_config=CLIPTextConfig.open_clip_h().tiny(),
+            dtype=jnp.float32,
+            window=4,
+            decode_chunk=2,
+        )
+        video = (np.random.RandomState(0).rand(7, 32, 32, 3) * 255).astype(np.uint8)
+
+        ref_pipe = VideoSuperResolutionPipeline.init_random(
+            jax.random.PRNGKey(0), window_batch=2, **kwargs
+        )
+        ref = ref_pipe(video, prompt="x", num_inference_steps=2, seed=5).video
+
+        dp_pipe = VideoSuperResolutionPipeline.init_random(
+            jax.random.PRNGKey(0), mesh=make_mesh(jax.devices(), dp=2, sp=2, tp=2), **kwargs
+        )
+        out = dp_pipe(video, prompt="x", num_inference_steps=2, seed=5).video
+        assert out.shape == (7, 128, 128, 3)
+        # tp row-parallel matmuls change fp32 partial-sum order → a handful of
+        # pixels land on the other side of the uint8 rounding boundary
+        diff = np.abs(out.astype(np.int16) - ref.astype(np.int16))
+        assert diff.max() <= 1, diff.max()
+        assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
+
     def test_frame_sharded_cascade_runs(self, mesh):
         """Option-4 chain with all stages frame-sharded over the mesh."""
         import jax.numpy as jnp
