@@ -43,6 +43,34 @@ def create_logger(log_dir: Optional[str] = None, name: str = "lavie_tpu") -> log
     return logger
 
 
+def create_tensorboard(log_dir: str):
+    """TensorBoard writer on process 0 (reference: create_tensorboard
+    interpolation/utils.py:151-160; fine_tuning.py reports to tensorboard via
+    Accelerate, :407-408). Returns None off-rank-0 or when the tensorboard
+    package is unavailable — MetricLogger's JSONL stream is the always-on
+    fallback."""
+    if not is_main_process():
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:
+        return None
+    os.makedirs(log_dir, exist_ok=True)
+    return SummaryWriter(log_dir=log_dir)
+
+
+def write_tensorboard(writer, step: int, metrics: Dict[str, Any]) -> None:
+    """Scalar dump helper (reference: write_tensorboard
+    interpolation/utils.py:163-170). No-op when writer is None."""
+    if writer is None:
+        return
+    for k, v in metrics.items():
+        try:
+            writer.add_scalar(k, float(v), int(step))
+        except (TypeError, ValueError):
+            pass
+
+
 class MetricLogger:
     """Append-only JSONL metrics with wall-clock stamps."""
 

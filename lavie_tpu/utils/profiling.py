@@ -43,3 +43,27 @@ def device_timer(name: str = "block", results: Optional[dict] = None) -> Iterato
 def annotate(name: str):
     """Named trace region for XProf (jax.profiler.TraceAnnotation)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def count_params(params) -> int:
+    """Total parameter count (reference: count_params
+    base/models/utils.py:211-215)."""
+    import numpy as np
+
+    return int(sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params)))
+
+
+def count_flops_attention(batch: int, heads: int, seq_q: int, seq_k: int, head_dim: int) -> int:
+    """Matmul FLOPs of one attention call — scores + weighted sum
+    (reference: count_flops_attn base/models/utils.py:192-209, thop hook)."""
+    return 2 * 2 * batch * heads * seq_q * seq_k * head_dim
+
+
+def compiled_flops(fn, *args) -> float:
+    """XLA's own cost model for a jitted call: total FLOPs of the compiled
+    program (the honest replacement for the reference's thop hook)."""
+    c = jax.jit(fn).lower(*args).compile()
+    ca = c.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0] if ca else {}
+    return float(ca.get("flops", float("nan")))

@@ -49,3 +49,41 @@ class TestDeviceTimer:
         with device_timer("op", res):
             _ = jnp.ones((64, 64)) @ jnp.ones((64, 64))
         assert "op" in res and res["op"] >= 0
+
+
+class TestTensorboard:
+    def test_writer_roundtrip(self, tmp_path):
+        from lavie_tpu.utils.logging import create_tensorboard, write_tensorboard
+
+        w = create_tensorboard(str(tmp_path / "tb"))
+        # no-op path must not raise even with writer=None
+        write_tensorboard(None, 0, {"loss": 1.0})
+        if w is not None:  # tensorboard available in this image
+            write_tensorboard(w, 1, {"loss": 0.5, "bad": "skip-me"})
+            w.flush()
+            import os
+
+            files = os.listdir(tmp_path / "tb")
+            assert any("tfevents" in f for f in files)
+
+
+class TestCounters:
+    def test_count_params(self):
+        from lavie_tpu.utils.profiling import count_params
+
+        params = {"a": jnp.zeros((3, 4)), "b": {"c": jnp.zeros((5,))}}
+        assert count_params(params) == 17
+
+    def test_attention_flops(self):
+        from lavie_tpu.utils.profiling import count_flops_attention
+
+        # 2 matmuls x 2 flops/MAC x b h q k d
+        assert count_flops_attention(2, 4, 8, 16, 32) == 2 * 2 * 2 * 4 * 8 * 16 * 32
+
+    def test_compiled_flops(self):
+        from lavie_tpu.utils.profiling import compiled_flops
+
+        fl = compiled_flops(lambda a, b: a @ b, jnp.ones((64, 32)), jnp.ones((32, 16)))
+        import math
+
+        assert math.isnan(fl) or fl >= 2 * 64 * 32 * 16 * 0.5
