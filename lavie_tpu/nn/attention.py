@@ -164,6 +164,53 @@ class TemporalAttention(nn.Module):
         else:
             raise ValueError(f"unknown temporal attention variant: {self.variant}")
 
+    def folded_supported(self, frames: int, s: int) -> bool:
+        """True when the fused Pallas temporal kernel should take the
+        (B, F, S, C) layout directly. OPT-IN (LAVIE_TEMPORAL_KERNEL=1):
+        measured on v5e the strictly-2D Mosaic formulation runs ~3× slower
+        than XLA's fused path (34 vs 12 ms at the base L0 shape) — the
+        per-head indicator matmuls are 2·F² tiny MXU dots per tile. XLA's
+        layout is the production path; the kernel is kept as a correct,
+        tested baseline for future Mosaic work."""
+        import os
+
+        if os.environ.get("LAVIE_TEMPORAL_KERNEL") != "1":
+            return False
+        if os.environ.get("LAVIE_DISABLE_FLASH") == "1":
+            return False
+        if self.variant != "rope_relbias":
+            return False
+        from lavie_tpu.kernels.attention import _on_tpu
+        from lavie_tpu.kernels.temporal_attention import temporal_supported_shape
+
+        return _on_tpu() and temporal_supported_shape(
+            frames, self.heads, self.head_dim, s
+        )
+
+    def folded(self, hidden_states: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+        """Fused path over (B, F, S, C) — frame-axis attention with RoPE +
+        rel-pos bias, positions-on-lanes Pallas kernel
+        (kernels/temporal_attention.py)."""
+        b, f, s, _ = hidden_states.shape
+        shape5 = (b, f, s, self.heads, self.head_dim)
+        q = self.to_q(hidden_states).reshape(shape5)
+        k = self.to_k(hidden_states).reshape(shape5)
+        v = self.to_v(hidden_states).reshape(shape5)
+        cos_np, sin_np = rope_half_frequencies(f, min(self.rope_dim, self.head_dim))
+        # (f, 1, 1, rot/2) right-aligns onto the frame axis of (b,f,s,h,d)
+        cos = jnp.asarray(cos_np, dtype=q.dtype)[:, None, None, :]
+        sin = jnp.asarray(sin_np, dtype=q.dtype)[:, None, None, :]
+        q = apply_rope_half(q, cos, sin)
+        k = apply_rope_half(k, cos, sin)
+        bias = self.time_rel_pos_bias(f)  # (heads, f, f)
+        from lavie_tpu.kernels.temporal_attention import temporal_attention
+
+        out = temporal_attention(
+            q, k, v, bias, scale=self.head_dim**-0.5, interpret=interpret
+        )
+        out = out.reshape(b, f, s, self.heads * self.head_dim)
+        return self.to_out_0(out)
+
     def __call__(self, hidden_states: jnp.ndarray) -> jnp.ndarray:
         b, f, _ = hidden_states.shape
         q = self.to_q(hidden_states).reshape(b, f, self.heads, self.head_dim)
