@@ -137,6 +137,61 @@ class CLIPTextModel(nn.Module):
         return x.astype(self.dtype)
 
 
+def token_drop(
+    token_ids: jnp.ndarray,  # (B, L)
+    uncond_ids: jnp.ndarray,  # (L,) or (1, L) — the tokenized empty prompt
+    rng: jax.Array,
+    drop_prob: float,
+    force_drop: Optional[jnp.ndarray] = None,  # (B,) bool overrides
+) -> jnp.ndarray:
+    """Classifier-free-guidance caption dropout: with probability `drop_prob`
+    a sample's prompt tokens are replaced by the empty-prompt tokens
+    (reference: TextEmbedder.token_drop base/models/clip.py:70-81, which
+    blanks the prompt STRING pre-tokenization; on token ids this is the same
+    operation without a host round trip)."""
+    b = token_ids.shape[0]
+    if force_drop is None:
+        drop = jax.random.uniform(rng, (b,)) < drop_prob
+    else:
+        drop = force_drop.astype(bool)
+    uncond = jnp.broadcast_to(jnp.asarray(uncond_ids).reshape(1, -1), token_ids.shape)
+    return jnp.where(drop[:, None], uncond, token_ids)
+
+
+class TextEmbedder(nn.Module):
+    """CLIP text encoder + CFG caption dropout for training
+    (reference: TextEmbedder base/models/clip.py:61-88)."""
+
+    config: CLIPTextConfig
+    dropout_prob: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.text_model = CLIPTextModel(
+            config=self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="text_model",
+        )
+
+    def __call__(
+        self,
+        token_ids: jnp.ndarray,
+        uncond_ids: Optional[jnp.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+        train: bool = False,
+        force_drop: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        use_drop = (train and self.dropout_prob > 0) or force_drop is not None
+        if use_drop:
+            assert uncond_ids is not None, "token_drop needs the empty-prompt ids"
+            token_ids = token_drop(
+                token_ids, uncond_ids,
+                rng if rng is not None else jax.random.PRNGKey(0),
+                self.dropout_prob, force_drop,
+            )
+        return self.text_model(token_ids)
+
+
 @dataclasses.dataclass(frozen=True)
 class CLIPVisionConfig:
     """ViT-L/14: the fork's image-conditioning tower

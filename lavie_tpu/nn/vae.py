@@ -203,6 +203,51 @@ class AutoencoderKL(nn.Module):
     def sample_posterior(self, mean, logvar, rng):
         return mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape, dtype=mean.dtype)
 
+    def tiled_encode(self, x: jnp.ndarray, tile: int = 256, overlap: int = 64):
+        """Encode in overlapping RGB tiles with linear seam blending — mirror
+        of tiled_decode (reference: vsr/models/autoencoder_kl.py:214-258
+        tiled_encode with blend_h/blend_v). tile/overlap in image pixels;
+        returns (mean, logvar) at latent resolution."""
+        n, h, w, c = x.shape
+        if h <= tile and w <= tile:
+            return self.encode(x)
+        f = self.config.downscale_factor
+        stride = tile - overlap
+        lh, lw = h // f, w // f
+
+        tiles = []
+        for i0 in range(0, max(h - overlap, 1), stride):
+            i1 = min(i0 + tile, h)
+            for j0 in range(0, max(w - overlap, 1), stride):
+                j1 = min(j0 + tile, w)
+                mean, logvar = self.encode(x[:, i0:i1, j0:j1])
+                tiles.append((i0, i1, j0, j1, jnp.concatenate([mean, logvar], -1)))
+
+        lc = self.config.latent_channels
+        canvas = jnp.zeros((n, lh, lw, 2 * lc), tiles[0][4].dtype)
+        weight = jnp.zeros((1, lh, lw, 1), jnp.float32)
+        ov = overlap // f
+        for (i0, i1, j0, j1, m) in tiles:
+            th, tw = m.shape[1], m.shape[2]
+            wy = jnp.ones((th,), jnp.float32)
+            wx = jnp.ones((tw,), jnp.float32)
+            ramp = (jnp.arange(ov) + 1) / (ov + 1)
+            if i0 > 0:
+                wy = wy.at[:ov].set(ramp)
+            if i1 < h:
+                wy = wy.at[-ov:].set(ramp[::-1])
+            if j0 > 0:
+                wx = wx.at[:ov].set(ramp)
+            if j1 < w:
+                wx = wx.at[-ov:].set(ramp[::-1])
+            wmap = (wy[:, None] * wx[None, :])[None, :, :, None]
+            y0, x0 = i0 // f, j0 // f
+            canvas = canvas.at[:, y0:y0 + th, x0:x0 + tw].add(m * wmap.astype(m.dtype))
+            weight = weight.at[:, y0:y0 + th, x0:x0 + tw].add(wmap)
+        moments = canvas / jnp.maximum(weight, 1e-8).astype(canvas.dtype)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
     def tiled_decode(self, z: jnp.ndarray, tile: int = 64, overlap: int = 16) -> jnp.ndarray:
         """Decode in overlapping latent tiles with linear seam blending —
         the reference's tiled codec (reference: vsr/models/autoencoder_kl.py:
