@@ -110,7 +110,12 @@ class UNetConfig:
         return cls(
             in_channels=9 if use_mask else 8,
             spatial_attention="sparse_causal",
-            temporal_attention="learned_relpos",
+            # the shipped TSR never enables use_relative_position — its
+            # temporal attention is plain (reference:
+            # interpolation/models/unet.py:100 default False; from_pretrained_2d
+            # :477-558 doesn't set it; the 32-position learned-relpos table
+            # couldn't index 61 frames anyway)
+            temporal_attention="plain",
         )
 
     @classmethod

@@ -75,14 +75,18 @@ def _flash_kernel(
         o_ref[0] = (acc_scratch[:] / l_scratch[:, 0:1]).astype(o_ref.dtype)
 
 
-def _pick_block(seq: int, target: int = 512) -> int:
-    """Largest power-of-two block ≤ target that divides seq (≥ 128)."""
-    blk = target
-    while blk >= 128:
+def _pick_block(seq: int, target: int = 1024) -> int:
+    """Largest multiple-of-128 divisor of seq that is ≤ target. Bigger blocks
+    matter: at TSR's 61-frame sparse-causal shape the old power-of-two picker
+    produced a 48.8k-program grid whose per-program work was ~2 µs — grid
+    overhead dominated the kernel (measured 261 ms/fwd)."""
+    best = 0
+    blk = 128
+    while blk <= min(seq, target):
         if seq % blk == 0:
-            return blk
-        blk //= 2
-    return 0
+            best = blk
+        blk += 128
+    return best
 
 
 def flash_supported_shape(
@@ -146,26 +150,23 @@ def flash_attention(
     scale: float,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flash attention over (B, S, H, D); D is zero-padded to a lane multiple
-    internally (zero k-columns don't change scores; padded v-columns are
-    sliced off)."""
+    """Flash attention over (B, S, H, D). D needs no explicit padding: Mosaic
+    pads sub-128 minor dims inside VMEM tiles, so handing the kernel raw
+    D=40/64 blocks avoids the padded HBM copies (and their 3.2× read
+    traffic) the old wrapper paid for."""
     assert bias is None, "flash path takes no bias (temporal attn stays XLA)"
     b, s, h, d = q.shape
-    d_pad = ((d + 127) // 128) * 128
 
     def to_bhsd(x):
         sk = x.shape[1]
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, sk, d)
-        if d_pad != d:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, d_pad - d)))
-        return x
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, sk, d)
 
     qb, kb, vb = to_bhsd(q), to_bhsd(k), to_bhsd(v)
     if interpret:
         out = _flash_bhsd_interpret(qb, kb, vb, scale)
     else:
         out = _flash_bhsd(qb, kb, vb, scale)
-    out = out[..., :d].reshape(b, h, s, d)
+    out = out.reshape(b, h, s, d)
     return jnp.transpose(out, (0, 2, 1, 3))
 
 

@@ -110,11 +110,18 @@ class TemporalAttention(nn.Module):
 
     variant="rope_relbias": partial RoPE on q/k + learned relative-position
       bias added to the scores — the base/VSR temporal attention.
+    variant="plain": vanilla attention over frames — the SHIPPED interpolation
+      temporal attention: TSR's from_pretrained_2d never sets
+      use_relative_position, so it stays False
+      (reference: interpolation/models/unet.py:100, :477-558 — the config
+      plumbs no such key) and attn_temp is a bare CrossAttention.
     variant="learned_relpos": BERT-style learned relative position embeddings
-      contracted with q and k — the interpolation temporal attention. Its
-      score normalization reproduces the reference quirk of applying the
-      1/sqrt(d) scale twice to the q·k term
-      (reference: interpolation/models/attention.py:225-245).
+      contracted with q and k — the reference's OPTIONAL (dead in the shipped
+      path) relative-position code. Its score normalization reproduces the
+      reference quirk of applying the 1/sqrt(d) scale twice to the q·k term
+      (reference: interpolation/models/attention.py:225-245). Distances are
+      clamped to the 32-position table; the reference's torch.nn.Embedding
+      would index out of range beyond 32 frames.
     """
 
     query_dim: int
@@ -161,7 +168,7 @@ class TemporalAttention(nn.Module):
                 param_dtype=self.param_dtype,
                 name="distance_embedding",
             )
-        else:
+        elif self.variant != "plain":
             raise ValueError(f"unknown temporal attention variant: {self.variant}")
 
     def folded_supported(self, frames: int, s: int) -> bool:
@@ -229,13 +236,23 @@ class TemporalAttention(nn.Module):
             k = apply_rope_half(k, cos, sin)
             bias = self.time_rel_pos_bias(f)  # (heads, f, f)
             out = dot_product_attention(q, k, v, bias=bias)
+        elif self.variant == "plain":
+            out = dot_product_attention(q, k, v)
         else:
             # BERT-style: scores = (q·kᵀ·d^-0.5 + q·E + k·E) / sqrt(d)
             scale = self.head_dim**-0.5
             qh = jnp.einsum("bfhd->bhfd", q).astype(jnp.float32)
             kh = jnp.einsum("bfhd->bhfd", k).astype(jnp.float32)
             scores = scale * jnp.einsum("bhld,bhrd->bhlr", qh, kh)
+            # clamp to the table range: the reference's 32-position embedding
+            # cannot index beyond 32 frames (torch would raise; jnp.take would
+            # NaN-fill) — clamping saturates far distances like T5 bucketing
             dist = np.arange(f)[:, None] - np.arange(f)[None, :]
+            dist = np.clip(
+                dist,
+                -(self.max_position_embeddings - 1),
+                self.max_position_embeddings - 1,
+            )
             emb = self.distance_embedding(
                 jnp.asarray(dist + self.max_position_embeddings - 1)
             ).astype(jnp.float32)  # (f, f, d)

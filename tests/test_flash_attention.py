@@ -16,9 +16,13 @@ from lavie_tpu.kernels.flash_attention import (
 
 class TestBlockSelection:
     def test_pick_block(self):
-        assert _pick_block(2560) == 512
-        assert _pick_block(640) == 128
-        assert _pick_block(1024) == 512
+        # largest multiple-of-128 divisor ≤ target (divisor-aware: grid
+        # overhead dominated the kernel with small power-of-two blocks)
+        assert _pick_block(2560) == 640
+        assert _pick_block(640) == 640
+        assert _pick_block(1024) == 1024
+        assert _pick_block(5120) == 1024
+        assert _pick_block(2560, target=512) == 512
         assert _pick_block(100) == 0
 
     def test_supported_shapes(self):

@@ -366,3 +366,36 @@ class TestVersatileAttention:
         flow = jnp.zeros((1, 5, 6, 2)).at[..., 0].set(1.0)
         out = np.asarray(bilinear_warp(x, flow))
         np.testing.assert_allclose(out[:, :, :-1], np.asarray(x)[:, :, 1:], atol=1e-6)
+
+
+class TestTemporalVariants:
+    def test_plain_variant_is_bare_attention(self):
+        """The shipped TSR temporal attention has no rope and no bias
+        (reference: interpolation/models/unet.py:100 — use_relative_position
+        defaults False and from_pretrained_2d never sets it)."""
+        import numpy as np
+
+        m = TemporalAttention(query_dim=16, heads=2, head_dim=8, variant="plain")
+        x = jnp.asarray(np.random.RandomState(0).randn(3, 5, 16), jnp.float32)
+        p = m.init(jax.random.PRNGKey(0), x)
+        assert "time_rel_pos_bias" not in p["params"]
+        assert "distance_embedding" not in p["params"]
+        out = m.apply(p, x)
+        assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+    def test_learned_relpos_finite_beyond_table(self):
+        """61-frame distances exceed the 32-position table; indices must be
+        clamped (the reference's torch embedding would crash; unclamped
+        jnp.take NaN-fills — this was a real NaN at TSR full size)."""
+        import numpy as np
+
+        m = TemporalAttention(query_dim=16, heads=2, head_dim=8, variant="learned_relpos")
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 61, 16), jnp.float32)
+        p = m.init(jax.random.PRNGKey(0), x)
+        pp = dict(p["params"])
+        pp["to_out_0"] = dict(pp["to_out_0"])
+        pp["to_out_0"]["kernel"] = jnp.asarray(
+            np.random.RandomState(2).randn(16, 16) * 0.1, jnp.float32
+        )
+        out = m.apply({"params": pp}, x)
+        assert np.isfinite(np.asarray(out)).all()
