@@ -425,6 +425,51 @@ class UNet3D(nn.Module):
         )
         self.conv_out = InflatedConv(cfg.out_channels, (3, 3), name="conv_out", **common)
 
+    @property
+    def num_prefix_blocks(self) -> int:
+        """Leading down blocks with no text dependence (no cross-attention).
+        Everything up to and including these — conv_in, time/class embedding,
+        the blocks and their temporal modules — computes identical values for
+        the CFG cond/uncond halves; pipelines running split CFG evaluate it
+        ONCE per step via forward_prefix (a structural saving XLA cannot find
+        across two separate UNet applications). For the VSR UNet this is the
+        full-resolution DownBlock3D — ~5% of the forward."""
+        n = 0
+        for t in self.config.down_block_types:
+            if t == "DownBlock3D":
+                n += 1
+            else:
+                break
+        return n
+
+    def _embed(self, timesteps, class_labels):
+        emb = self.time_embedding(timesteps)
+        if self.class_embedding is not None:
+            assert class_labels is not None, "class_labels required (noise level)"
+            emb = emb + self.class_embedding(class_labels).astype(emb.dtype)
+        return emb
+
+    def forward_prefix(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        class_labels: Optional[jnp.ndarray] = None,
+    ):
+        """Run the conditioning-independent prefix; returns the state to feed
+        __call__(prefix=...) for each CFG half."""
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+        emb = self._embed(timesteps, class_labels)
+        sample = sample.astype(self.dtype)
+        sample = self.conv_in(sample)
+        res_stack = [sample]
+        for i in range(self.num_prefix_blocks):
+            sample, res = self.down_blocks[i](sample, emb)
+            res_stack.extend(res)
+            if self.down_temporal_blocks is not None:
+                sample = self.down_temporal_blocks[i](sample, emb, timesteps)
+        return sample, res_stack
+
     def __call__(
         self,
         sample: jnp.ndarray,
@@ -432,25 +477,33 @@ class UNet3D(nn.Module):
         encoder_hidden_states: Optional[jnp.ndarray] = None,
         class_labels: Optional[jnp.ndarray] = None,
         image_frames: int = 0,
+        prefix=None,
     ) -> jnp.ndarray:
         """image_frames: trailing still images appended to the frame axis for
         joint image-video training (reference: base/models/unet.py:366-375);
-        they skip temporal attention and get their own text states."""
+        they skip temporal attention and get their own text states.
+        prefix: optional (sample, res_stack) from forward_prefix — skips the
+        conditioning-independent leading blocks (split-CFG sharing)."""
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
-        emb = self.time_embedding(timesteps)
-        if self.class_embedding is not None:
-            assert class_labels is not None, "class_labels required (noise level)"
-            emb = emb + self.class_embedding(class_labels).astype(emb.dtype)
+        emb = self._embed(timesteps, class_labels)
 
-        sample = sample.astype(self.dtype)
-        sample = self.conv_in(sample)
+        if prefix is not None:
+            sample, res_stack = prefix
+            res_stack = list(res_stack)
+            start = self.num_prefix_blocks
+        else:
+            sample = sample.astype(self.dtype)
+            sample = self.conv_in(sample)
+            res_stack = [sample]
+            start = 0
 
         # down
-        res_stack = [sample]
         for i, block in enumerate(self.down_blocks):
+            if i < start:
+                continue
             if isinstance(block, CrossAttnDownBlock3D):
                 sample, res = block(sample, emb, encoder_hidden_states, image_frames)
             else:

@@ -176,7 +176,7 @@ class VideoSuperResolutionPipeline:
                 lat_key, (batch, frames, height, width, 4), dtype=jnp.float32
             )
 
-            def unet_half(x, t, text_half):
+            def unet_half(x, t, text_half, prefix=None):
                 xin = jnp.concatenate([x.astype(dtype), image_c], axis=-1)  # 7ch
                 return unet.apply(
                     {"params": params["unet"]},
@@ -184,14 +184,28 @@ class VideoSuperResolutionPipeline:
                     jnp.broadcast_to(t, (batch,)),
                     text_half,
                     class_labels=nl1,
+                    prefix=prefix,
                 ).astype(jnp.float32)
 
             def body(x, tp):
                 t, pt = tp
                 if self.split_cfg:
-                    # sequential halves: half the peak activation memory
-                    pred_u = unet_half(x, t, text_states[:batch])
-                    pred_c = unet_half(x, t, text_states[batch:])
+                    # sequential halves: half the peak activation memory.
+                    # The text-independent prefix (conv_in + the full-res
+                    # DownBlock3D + its temporal module) is shared — computed
+                    # once instead of per half (UNet3D.forward_prefix).
+                    prefix = None
+                    if unet.num_prefix_blocks > 0:
+                        xin = jnp.concatenate([x.astype(dtype), image_c], axis=-1)
+                        prefix = unet.apply(
+                            {"params": params["unet"]},
+                            xin,
+                            jnp.broadcast_to(t, (batch,)),
+                            nl1,
+                            method=UNet3D.forward_prefix,
+                        )
+                    pred_u = unet_half(x, t, text_states[:batch], prefix)
+                    pred_c = unet_half(x, t, text_states[batch:], prefix)
                     v = pred_u + guidance_scale * (pred_c - pred_u)
                 else:
                     xin = jnp.concatenate([x, x], axis=0).astype(dtype)
@@ -268,12 +282,22 @@ class VideoSuperResolutionPipeline:
             return text_states, image, x
 
         @jax.jit
-        def step_half(params, x, image_c, text_half, t, noise_level):
+        def prefix_fn(params, x, image_c, t, noise_level):
+            xin = jnp.concatenate([x.astype(dtype), image_c], axis=-1)
+            return unet.apply(
+                {"params": params["unet"]}, xin, jnp.broadcast_to(t, (batch,)),
+                jnp.broadcast_to(noise_level, (batch,)),
+                method=UNet3D.forward_prefix,
+            )
+
+        @jax.jit
+        def step_half(params, x, image_c, text_half, t, noise_level, prefix=None):
             xin = jnp.concatenate([x.astype(dtype), image_c], axis=-1)
             return unet.apply(
                 {"params": params["unet"]}, xin,
                 jnp.broadcast_to(t, (batch,)), text_half,
                 class_labels=jnp.broadcast_to(noise_level, (batch,)),
+                prefix=prefix,
             ).astype(jnp.float32)
 
         @jax.jit
@@ -291,10 +315,15 @@ class VideoSuperResolutionPipeline:
 
         def sample_fn(params, token_ids, frames_in, noise_level, guidance, key):
             text_states, image_c, x = prep_fn(params, token_ids, frames_in, noise_level, key)
+            share_prefix = unet.num_prefix_blocks > 0
             for i in range(len(ts)):
                 t = jnp.int32(int(ts[i]))
-                pred_u = step_half(params, x, image_c, text_states[:batch], t, noise_level)
-                pred_c = step_half(params, x, image_c, text_states[batch:], t, noise_level)
+                prefix = (
+                    prefix_fn(params, x, image_c, t, noise_level)
+                    if share_prefix else None
+                )
+                pred_u = step_half(params, x, image_c, text_states[:batch], t, noise_level, prefix)
+                pred_c = step_half(params, x, image_c, text_states[batch:], t, noise_level, prefix)
                 x = combine_fn(x, pred_u, pred_c, t, jnp.int32(int(pts[i])), guidance)
             z = x / scaling  # (B, F, h, w, 4)
             outs = []

@@ -61,6 +61,27 @@ class TestVSRUNet:
         b = model.apply(params, x, jnp.array([10]), ctx, jnp.array([300]))
         assert not np.array_equal(np.asarray(a), np.asarray(b))
 
+    def test_prefix_sharing_matches_full_forward(self):
+        # split-CFG prefix sharing: forward_prefix + __call__(prefix=...) must
+        # reproduce the plain forward exactly (same ops, same order)
+        cfg = UNetConfig.vsr().tiny()
+        model = UNet3D(config=cfg)
+        assert model.num_prefix_blocks == 1  # the full-res DownBlock3D
+        rng = jax.random.PRNGKey(3)
+        x = jax.random.normal(rng, (1, 2, 16, 16, 7))
+        ctx = jax.random.normal(jax.random.PRNGKey(4), (1, 7, cfg.cross_attention_dim))
+        t, nl = jnp.array([10]), jnp.array([50])
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx, nl)
+        full = model.apply(params, x, t, ctx, nl)
+        prefix = model.apply(params, x, t, nl, method=UNet3D.forward_prefix)
+        shared = model.apply(params, x, t, ctx, nl, prefix=prefix)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(shared))
+
+    def test_base_unet_has_no_prefix(self):
+        # base/TSR start with cross-attention blocks — nothing to share
+        assert UNet3D(config=UNetConfig.base_t2v()).num_prefix_blocks == 0
+        assert UNet3D(config=UNetConfig.interpolation()).num_prefix_blocks == 0
+
     def test_missing_class_labels_raises(self):
         cfg = UNetConfig.vsr().tiny()
         model = UNet3D(config=cfg)
