@@ -1,0 +1,251 @@
+"""Channel-major fused temporal attention (v2 kernel).
+
+The frame-axis attention (reference: base/models/attention.py:562-667) is
+millions of tiny (f×d)·(d×f) problems — one per spatial position per head.
+The XLA lowering keeps frames in the two minor dims, so every score tile is
+(f, f) inside an (8, 128) register: at f=8 that is 6% lane utilization, and
+the trace shows the whole phase spending its time in transposes,
+max-subtraction and reduction passes over the padded layout (208 ms of a
+1.09 s full-size VSR UNet forward).
+
+This kernel keeps CHANNELS ON SUBLANES and SPATIAL POSITIONS ON LANES:
+
+  - inputs are (C, B, F, S) "channel-major" tensors. The surrounding
+    projections produce/consume this layout FOR FREE: q^T = W^T·x^T is the
+    same GEMM with the output dimension order flipped, so no transpose pass
+    ever materializes (see nn.attention.TemporalAttention).
+  - per (head, i, j) the d-dim score reduction is a halving tree of
+    full-width sublane adds over the head's contiguous (d, S) rows — the
+    cheap VPU direction — and probs·V is a sublane-broadcast multiply.
+  - scores/softmax live as (1, S_blk) fp32 rows per (head, i, j) — exact
+    max-subtracted softmax, nothing round-trips HBM.
+  - wide channel counts split heads over a third grid dimension.
+
+Everything is strictly 2D for Mosaic; no indicator matmuls (the v1 kernel in
+temporal_attention.py burned its time in 2·F² tiny MXU dots) and no
+>2D multi_reductions (Mosaic rejects them).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    q_ref,  # (Cg, 1, F, S_blk) — one head group (contiguous heads)
+    k_ref,
+    v_ref,
+    bias_ref,  # (1, F·F·Hg, 128) fp32: row (i·F+j)·Hg+h
+    qcs_ref,  # (Cg, 2·F) fp32: [:, :F] = cos, [:, F:] = sin
+    kcs_ref,
+    o_ref,  # (Cg, 1, F, S_blk)
+    *,
+    frames: int,
+    heads: int,  # heads in this group (Hg)
+    head_dim: int,
+    rope_dim: int,
+    scale: float,
+):
+    f, hg, d = frames, heads, head_dim
+    r, r2 = rope_dim, rope_dim // 2
+
+    def rope_head(ref, i, h, cs_ref):
+        # bf16 staging (the XLA path applies rope in the input dtype too)
+        x = ref[h * d : (h + 1) * d, 0, i, :]  # (d, S)
+        if r2 == 0:
+            return x
+        cos = cs_ref[h * d : (h + 1) * d, i : i + 1].astype(x.dtype)  # (d, 1)
+        sin = cs_ref[h * d : (h + 1) * d, f + i : f + i + 1].astype(x.dtype)
+        parts = [-x[r2:r], x[:r2]]
+        if d > r:
+            parts.append(x[r:])
+        return x * cos + jnp.concatenate(parts, axis=0) * sin
+
+    qs = [[rope_head(q_ref, i, h, qcs_ref) for h in range(hg)] for i in range(f)]
+    ks = [[rope_head(k_ref, i, h, kcs_ref) for h in range(hg)] for i in range(f)]
+
+    def tree_sum(x):  # (d, S) → (1, S): halving tree of full-width adds
+        n = d
+        while n > 1:
+            if n % 2:  # fold the odd tail row into row 0
+                x = jnp.concatenate([x[:1] + x[n - 1 : n], x[1 : n - 1]], axis=0)
+                n -= 1
+            half = n // 2
+            x = x[:half] + x[half:n]
+            n = half
+        return x
+
+    for i in range(f):
+        for h in range(hg):
+            qih = qs[i][h].astype(jnp.float32)
+            rows = []
+            for j in range(f):
+                prod = qih * ks[j][h].astype(jnp.float32)  # (d, S) fp32
+                rows.append(
+                    tree_sum(prod) * scale
+                    + bias_ref[0, (i * f + j) * hg + h : (i * f + j) * hg + h + 1, 0:1]
+                )  # (1, S)
+            m = rows[0]
+            for j in range(1, f):
+                m = jnp.maximum(m, rows[j])
+            exps = [jnp.exp(rr - m) for rr in rows]
+            den = exps[0]
+            for j in range(1, f):
+                den = den + exps[j]
+            inv = 1.0 / den
+            acc = None
+            for j in range(f):
+                p = exps[j] * inv  # (1, S) fp32 — broadcasts over d sublanes
+                t = p * v_ref[h * d : (h + 1) * d, 0, j, :].astype(jnp.float32)
+                acc = t if acc is None else acc + t
+            o_ref[h * d : (h + 1) * d, 0, i, :] = acc.astype(o_ref.dtype)
+
+
+def pick_layout(c: int, frames: int, s: int, heads: int):
+    """Choose (lane block, heads per group). Lane blocks must be ≥128; wide
+    channel counts split the head axis over a third grid dim instead of
+    shrinking the lane block. VMEM estimate: 8 bf16 tiles (double-buffered
+    q/k/v + out pipeline) + bf16 rope-staged q/k + fp32 working set."""
+    # Empirical Mosaic stack limits (measured on v5e): the fully-unrolled
+    # f² body's stack scales with cg·blk; cg=128/blk=256 fits only when the
+    # grid is 1 (no double buffering), cg=256/blk=128 blows the 16 MB scoped
+    # VMEM. cg ≤ 128 with blk=128 compiles at every cascade shape.
+    d = c // heads
+    import os
+
+    env_hg = os.environ.get("LAVIE_TF_HG")
+    hg = int(env_hg) if env_hg else 0
+    if not hg:
+        hg = heads
+        while hg > 1 and (hg * d > 128 or heads % hg != 0):
+            hg //= 2
+    cg = hg * d
+    if cg % 8 != 0 or cg > 256:
+        return 0, 0
+    env_blk = os.environ.get("LAVIE_TF_BLK")
+    blks = (int(env_blk),) if env_blk else (128,)
+    for blk in blks:
+        if s % blk != 0:
+            continue
+        est = (
+            8 * frames * cg * blk * 2  # pipelined q/k/v/out tiles
+            + 2 * frames * cg * blk * 2  # bf16 rope staging
+            + 4 * cg * blk * 4  # fp32 working set
+        )
+        if est <= 9 * 1024 * 1024:
+            return blk, hg
+    return 0, 0
+
+
+def temporal_fused_supported(frames: int, heads: int, head_dim: int, s: int) -> bool:
+    """f small enough to unroll f², head_dim sublane-aligned, positions
+    tileable to ≥128 lanes, tiles within VMEM."""
+    if frames > 16 or head_dim % 8 != 0:
+        return False
+    c = heads * head_dim
+    return pick_layout(c, frames, s, heads)[0] > 0
+
+
+def channel_permutation(heads: int, head_dim: int, hg: int) -> np.ndarray:
+    """The kernel works in the STANDARD per-head channel basis (head-major,
+    contiguous d per head) — no permutation. Kept for API symmetry."""
+    return np.arange(heads * head_dim, dtype=np.int64)
+
+
+def rope_tables_cmajor(
+    frames: int,
+    heads: int,
+    head_dim: int,
+    rope_dim: int,
+    hg: int,
+    cos: np.ndarray,  # (F, rope_dim//2) from embeddings.rope_half_frequencies
+    sin: np.ndarray,
+) -> np.ndarray:
+    """(C, 2F) fp32 cos/sin tables in the permuted d-major/head-minor basis.
+    Channels outside the rope dims get cos=1, sin=0 (identity). q and k share
+    the table (the scale is applied on the fp32 score rows in-kernel)."""
+    c = heads * head_dim
+    r2 = rope_dim // 2
+    cos_c = np.ones((c, frames), np.float32)
+    sin_c = np.zeros((c, frames), np.float32)
+    for h in range(heads):
+        for dd in range(rope_dim):
+            freq = dd if dd < r2 else dd - r2  # half-split: halves share freqs
+            cos_c[h * head_dim + dd] = cos.T[freq]
+            sin_c[h * head_dim + dd] = sin.T[freq]
+    return np.concatenate([cos_c, sin_c], axis=1)  # (C, 2F)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frames", "heads", "head_dim", "rope_dim", "scale", "interpret"),
+)
+def _temporal_cmajor(q, k, v, bias_rows, cs, *, frames, heads, head_dim,
+                     rope_dim, scale, interpret=False):
+    c, b, f, s = q.shape
+    blk, hg = pick_layout(c, f, s, heads)
+    cg = hg * head_dim
+    groups = heads // hg
+    grid = (b, s // blk, groups)
+    n_g = bias_rows.shape[1]
+    qkv_spec = pl.BlockSpec((cg, 1, f, blk), lambda b, i, g: (g, b, 0, i))
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, frames=frames, heads=hg, head_dim=head_dim,
+            rope_dim=rope_dim, scale=scale,
+        ),
+        grid=grid,
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec((1, n_g, 128), lambda b, i, g: (g, 0, 0)),
+            pl.BlockSpec((cg, 2 * f), lambda b, i, g: (g, 0)),
+            pl.BlockSpec((cg, 2 * f), lambda b, i, g: (g, 0)),
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((c, b, f, s), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias_rows, cs, cs)
+
+
+def temporal_attention_cmajor(
+    q: jnp.ndarray,  # (C, B, F, S) channel-major, PERMUTED basis
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],  # (H, F, F) additive score bias (or None)
+    cs: jnp.ndarray,  # (C, 2F) fp32 rope tables (permuted basis)
+    *,
+    heads: int,
+    scale: float,
+    rope_dim: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused frame-axis attention over channel-major tensors in the permuted
+    d-major/head-minor basis (channel_permutation); returns (C, B, F, S)."""
+    c, b, f, s = q.shape
+    d = c // heads
+    if bias is None:
+        bias = jnp.zeros((heads, f, f), jnp.float32)
+    _, hg = pick_layout(c, f, s, heads)
+    groups = heads // hg
+    # (H, F, F) → (G, (i·F+j)·Hg + h_local, lanes)
+    bias_rows = jnp.transpose(bias.astype(jnp.float32), (1, 2, 0))  # (F, F, H)
+    bias_rows = bias_rows.reshape(f, f, groups, hg)
+    bias_rows = jnp.transpose(bias_rows, (2, 0, 1, 3)).reshape(groups, f * f * hg, 1)
+    bias_rows = jnp.broadcast_to(bias_rows, (groups, f * f * hg, 128))
+    return _temporal_cmajor(
+        q, k, v, bias_rows, cs,
+        frames=f, heads=heads, head_dim=d, rope_dim=rope_dim, scale=scale,
+        interpret=interpret,
+    )

@@ -171,6 +171,79 @@ class TemporalAttention(nn.Module):
         elif self.variant != "plain":
             raise ValueError(f"unknown temporal attention variant: {self.variant}")
 
+    def channel_major_supported(self, frames: int, s: int) -> bool:
+        """True when the channel-major fused kernel (kernels/temporal_fused)
+        should take the (B, F, S, C) layout directly. OPT-IN
+        (LAVIE_TEMPORAL_FUSED=1): measured at parity with XLA end-to-end on
+        the full VSR forward (1095.5 vs 1092.4 ms device) — the frame-axis
+        attention is VPU-floor-bound in either lowering (DESIGN.md)."""
+        import os
+
+        if os.environ.get("LAVIE_TEMPORAL_FUSED", "0") != "1":
+            return False
+        if os.environ.get("LAVIE_DISABLE_FLASH") == "1":
+            return False
+        if self.variant not in ("rope_relbias", "plain"):
+            return False
+        from lavie_tpu.kernels.attention import _on_tpu
+        from lavie_tpu.kernels.temporal_fused import temporal_fused_supported
+
+        return _on_tpu() and temporal_fused_supported(
+            frames, self.heads, self.head_dim, s
+        )
+
+    def channel_major(self, hidden_states: jnp.ndarray) -> jnp.ndarray:
+        """Fused path over (B, F, S, C): the projections are emitted with the
+        CHANNEL dimension leading — q^T = W^T·x^T is the same GEMM with the
+        output order flipped, so the (b f) s c ↔ (b s) f c transposes of the
+        standard path never materialize.
+        """
+        import jax
+
+        from lavie_tpu.kernels.temporal_fused import (
+            pick_layout,
+            rope_tables_cmajor,
+            temporal_attention_cmajor,
+        )
+
+        b, f, s, c = hidden_states.shape
+        _, hg = pick_layout(c, f, s, self.heads)
+
+        def proj_cm(dense):  # (B,F,S,C) × (C,E) → (E,B,F,S)
+            w = dense.variables["params"]["kernel"].astype(self.dtype)
+            return jax.lax.dot_general(
+                w.T, hidden_states, (((1,), (3,)), ((), ()))
+            )
+
+        q = proj_cm(self.to_q)
+        k = proj_cm(self.to_k)
+        v = proj_cm(self.to_v)
+
+        if self.variant == "rope_relbias":
+            rot = min(self.rope_dim, self.head_dim)
+            cos_np, sin_np = rope_half_frequencies(f, rot)
+            cs = jnp.asarray(
+                rope_tables_cmajor(
+                    f, self.heads, self.head_dim, rot, hg, cos_np, sin_np
+                )
+            )
+            bias = self.time_rel_pos_bias(f)  # (H, F, F)
+        else:  # plain
+            rot = 0
+            cs = jnp.ones((c, 2 * f), jnp.float32)
+            bias = None
+
+        out = temporal_attention_cmajor(
+            q, k, v, bias, cs,
+            heads=self.heads, scale=self.head_dim**-0.5, rope_dim=rot,
+        )  # (E, B, F, S), permuted basis
+
+        # out-projection consumes channel-major directly: (E,B,F,S)·(E,O)
+        wo = self.to_out_0.variables["params"]["kernel"].astype(self.dtype)
+        bo = self.to_out_0.variables["params"]["bias"].astype(self.dtype)
+        y = jax.lax.dot_general(out, wo, (((0,), (0,)), ((), ())))
+        return y + bo
+
     def folded_supported(self, frames: int, s: int) -> bool:
         """True when the fused Pallas temporal kernel should take the
         (B, F, S, C) layout directly. OPT-IN (LAVIE_TEMPORAL_KERNEL=1):

@@ -227,6 +227,19 @@ class BasicTransformerBlock(nn.Module):
         if self.attn_temp is not None:
             bf, s, c = hidden_states.shape
             b = bf // video_length
+            if (
+                image_frames == 0
+                and not self.is_initializing()
+                and self.attn_temp.channel_major_supported(video_length, s)
+            ):
+                # channel-major fused kernel: projections emit (C, B, F, S)
+                # directly (transposes folded into the GEMMs), the kernel does
+                # rope+bias+softmax in VMEM (kernels/temporal_fused.py)
+                x4 = hidden_states.reshape(b, video_length, s, c)
+                x4 = self.attn_temp.channel_major(self.norm_temp(x4)) + x4
+                hidden_states = x4.reshape(bf, s, c)
+                hidden_states = self.ff(self.norm3(hidden_states)) + hidden_states
+                return hidden_states
             if image_frames == 0 and self.attn_temp.folded_supported(video_length, s):
                 # fused kernel path: stays in (B, F, S, C), no transposes
                 x4 = hidden_states.reshape(b, video_length, s, c)
