@@ -92,17 +92,20 @@ def _pick_block(seq: int, target: int = 1024) -> int:
 def flash_supported_shape(
     q: jnp.ndarray, k: jnp.ndarray, allow_padding: bool = False
 ) -> bool:
-    """Default gating: engage only where the kernel beats XLA's fused
-    attention — long self-attention with a lane-aligned head dim. Measured on
-    v5e: with head_dim 40/80 the 128-lane padding wastes 1.6-3.2× MXU work and
-    XLA wins (full-model bench 1.55 vs 1.15 frames/s); at head_dim 128 (the
-    VSR 1024-channel levels) the kernel is pad-free.
+    """Default gating: engage only where the kernel beats XLA — long
+    self-attention with a lane-aligned head dim. The boundary is batch-
+    dependent, not just head-dim (measured v5e, dedupe-proof chained
+    harness, S=2560 d=40 8 heads): at B·H=128 flash wins 8.9 vs 27.0 ms,
+    but at the production CFG-2 batch (B·H=256) XLA flips into a fused
+    flash-like regime and wins 8.6 vs 14.8 ms (full-model bench 1.336 vs
+    1.436 frames/s with the relaxed gate). d%128==0 keeps the kernel to the
+    shapes where it wins at every batch (d=128 S=2560: 6.0 vs 15.9 ms).
 
-    allow_padding=True relaxes the head-dim rule for callers where the
-    alternative is materializing an O(Sq·Sk) score matrix that cannot fit
-    (sparse-causal attention at 61 frames wants a 25.6 GB fp32 score tensor)."""
+    allow_padding=True relaxes the rules for callers where the alternative
+    is materializing an O(Sq·Sk) score matrix that cannot fit
+    (sparse-causal attention at 61 frames wants a 25.6 GB fp32 tensor)."""
     seq_q, seq_k, d = q.shape[1], k.shape[1], q.shape[-1]
-    if seq_q < 1024 or d > 512:
+    if seq_q < 1024 or d > 512 or d % 8 != 0:
         return False
     if not allow_padding and (seq_q != seq_k or d % 128 != 0):
         return False

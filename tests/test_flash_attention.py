@@ -26,15 +26,18 @@ class TestBlockSelection:
         assert _pick_block(100) == 0
 
     def test_supported_shapes(self):
-        # pad-free head dims only (measured: XLA wins at D=40/80)
         q128 = jnp.zeros((2, 2560, 8, 128))
         assert flash_supported_shape(q128, q128)
+        # d=40 stays on XLA: at the production CFG-2 batch XLA's fused
+        # attention regime wins (see flash_supported_shape docstring)
         q40 = jnp.zeros((2, 2560, 8, 40))
-        assert not flash_supported_shape(q40, q40)  # padding waste
+        assert not flash_supported_shape(q40, q40)
+        q12 = jnp.zeros((2, 2560, 8, 12))
+        assert not flash_supported_shape(q12, q12)  # sublane-unaligned d
         q77 = jnp.zeros((2, 77, 8, 128))
         assert not flash_supported_shape(q77, q77)  # short seq
         kx = jnp.zeros((2, 77, 8, 128))
-        assert not flash_supported_shape(q128, kx)  # cross
+        assert not flash_supported_shape(q128, kx)  # cross (unless padding)
 
 
 class TestFlashMatchesXLA:
