@@ -112,13 +112,29 @@ def flash_supported_shape(
     return _pick_block(seq_q) >= 128 and _pick_block(seq_k) >= 128
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _flash_bhsd(q, k, v, scale):
-    """q: (BH, Sq, D_padded), k/v: (BH, Sk, D_padded) → (BH, Sq, D_padded).
-    Sk may differ from Sq (sparse-causal kv is 2·Sq)."""
+def _q_block_target(seq_q: int, d: int) -> int:
+    """Bigger q blocks amortize per-cell overhead when the per-cell MXU work
+    is thin (sub-128 d pads to 128 lanes: at d=40 a 640×640 tile is only
+    ~31% useful). The sequential kv axis makes blk_q the only per-cell work
+    knob. Overridable for experiments via LAVIE_FLASH_BLKQ."""
+    import os
+
+    env = os.environ.get("LAVIE_FLASH_BLKQ")
+    if env:
+        return int(env)
+    return 2048 if d < 128 else 1024
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _flash_bhsd(q, k, v, scale, interpret=False):
+    """q: (BH, Sq, D), k/v: (BH, Sk, D) → (BH, Sq, D). Sk may differ from
+    Sq (sparse-causal kv is 2·Sq). NOTE a (B,S,H,D)-native variant with
+    heads as a grid axis is impossible: Pallas requires blocks to cover the
+    array's last two dims (H, D) fully or in (8,128)-divisible pieces, and a
+    single-head slice of the (H, D) tile plane is neither."""
     bh, seq_q, d = q.shape
     seq_k = k.shape[1]
-    blk_q = _pick_block(seq_q)
+    blk_q = _pick_block(seq_q, _q_block_target(seq_q, d))
     blk_k = _pick_block(seq_k)
     kv_blocks = seq_k // blk_k
 
@@ -141,6 +157,7 @@ def _flash_bhsd(q, k, v, scale):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(q, k, v)
 
 
@@ -164,37 +181,7 @@ def flash_attention(
         sk = x.shape[1]
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, sk, d)
 
-    qb, kb, vb = to_bhsd(q), to_bhsd(k), to_bhsd(v)
-    if interpret:
-        out = _flash_bhsd_interpret(qb, kb, vb, scale)
-    else:
-        out = _flash_bhsd(qb, kb, vb, scale)
+    out = _flash_bhsd(to_bhsd(q), to_bhsd(k), to_bhsd(v), scale,
+                      interpret=interpret)
     out = out.reshape(b, h, s, d)
     return jnp.transpose(out, (0, 2, 1, 3))
-
-
-def _flash_bhsd_interpret(q, k, v, scale):
-    """Interpreter-mode version for CPU testing."""
-    bh, seq_q, d = q.shape
-    seq_k = k.shape[1]
-    blk_q = _pick_block(seq_q)
-    blk_k = _pick_block(seq_k)
-    kv_blocks = seq_k // blk_k
-    grid = (bh, seq_q // blk_q, kv_blocks)
-    return pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, seq_q, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((blk_q, 128), jnp.float32),
-            pltpu.VMEM((blk_q, 128), jnp.float32),
-            pltpu.VMEM((blk_q, d), jnp.float32),
-        ],
-        interpret=True,
-    )(q, k, v)

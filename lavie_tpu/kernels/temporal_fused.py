@@ -42,7 +42,7 @@ def _kernel(
     q_ref,  # (Cg, 1, F, S_blk) — one head group (contiguous heads)
     k_ref,
     v_ref,
-    bias_ref,  # (1, F·F·Hg, 128) fp32: row (i·F+j)·Hg+h
+    bias_ref,  # (1, F·Hg·F, 128) fp32: rows (i·Hg+h)·F + j
     qcs_ref,  # (Cg, 2·F) fp32: [:, :F] = cos, [:, F:] = sin
     kcs_ref,
     o_ref,  # (Cg, 1, F, S_blk)
@@ -68,11 +68,20 @@ def _kernel(
             parts.append(x[r:])
         return x * cos + jnp.concatenate(parts, axis=0) * sin
 
-    qs = [[rope_head(q_ref, i, h, qcs_ref) for h in range(hg)] for i in range(f)]
-    ks = [[rope_head(k_ref, i, h, kcs_ref) for h in range(hg)] for i in range(f)]
+    # k and v are used by every query frame: stage k's rope and both fp32
+    # converts ONCE (re-converting bf16→fp32 per use costs f extra convert
+    # passes per tensor). q is rope'd lazily inside the i-loop.
+    ks = [
+        [rope_head(k_ref, j, h, kcs_ref).astype(jnp.float32) for h in range(hg)]
+        for j in range(f)
+    ]
+    vs = [
+        [v_ref[h * d : (h + 1) * d, 0, j, :].astype(jnp.float32) for h in range(hg)]
+        for j in range(f)
+    ]
 
     def tree_sum(x):  # (d, S) → (1, S): halving tree of full-width adds
-        n = d
+        n = x.shape[0]
         while n > 1:
             if n % 2:  # fold the odd tail row into row 0
                 x = jnp.concatenate([x[:1] + x[n - 1 : n], x[1 : n - 1]], axis=0)
@@ -84,14 +93,21 @@ def _kernel(
 
     for i in range(f):
         for h in range(hg):
-            qih = qs[i][h].astype(jnp.float32)
+            qih = rope_head(q_ref, i, h, qcs_ref).astype(jnp.float32)
+            base = (i * hg + h) * f
             rows = []
             for j in range(f):
-                prod = qih * ks[j][h].astype(jnp.float32)  # (d, S) fp32
+                prod = qih * ks[j][h]  # (d, S) fp32
+                # NB a jnp.sum(axis=0) here crashes the Mosaic compiler
+                # (tpu_compile_helper exit 1) — the manual tree stays
                 rows.append(
                     tree_sum(prod) * scale
-                    + bias_ref[0, (i * f + j) * hg + h : (i * f + j) * hg + h + 1, 0:1]
+                    + bias_ref[0, base + j : base + j + 1, 0:1]
                 )  # (1, S)
+            # per-row softmax: a packed (f, S)-tile variant (concat rows,
+            # 2D sublane reductions) measured SLOWER (29.1 vs 24.3 ms at
+            # VSR L1) — Mosaic's cross-sublane concat costs more than f
+            # single-sublane ops save
             m = rows[0]
             for j in range(1, f):
                 m = jnp.maximum(m, rows[j])
@@ -103,7 +119,7 @@ def _kernel(
             acc = None
             for j in range(f):
                 p = exps[j] * inv  # (1, S) fp32 — broadcasts over d sublanes
-                t = p * v_ref[h * d : (h + 1) * d, 0, j, :].astype(jnp.float32)
+                t = p * vs[j][h]
                 acc = t if acc is None else acc + t
             o_ref[h * d : (h + 1) * d, 0, i, :] = acc.astype(o_ref.dtype)
 
@@ -146,11 +162,16 @@ def pick_layout(c: int, frames: int, s: int, heads: int):
 
 def temporal_fused_supported(frames: int, heads: int, head_dim: int, s: int) -> bool:
     """f small enough to unroll f², head_dim sublane-aligned, positions
-    tileable to ≥128 lanes, tiles within VMEM."""
+    tileable to ≥128 lanes, tiles within VMEM — and ≥2 heads per group
+    (d ≤ 64): at hg=1 the per-cell work is too thin and XLA wins (measured
+    d=80: 4.8 vs 3.7 ms; d=128: 5.4 vs 3.7 — vs d=40: 7.3 vs 13.1 and
+    d=64: 20.0 vs 23.3 where the kernel wins; cg=160 hg=2 at d=80 crashes
+    the Mosaic compiler)."""
     if frames > 16 or head_dim % 8 != 0:
         return False
     c = heads * head_dim
-    return pick_layout(c, frames, s, heads)[0] > 0
+    blk, hg = pick_layout(c, frames, s, heads)
+    return blk > 0 and hg >= 2
 
 
 def channel_permutation(heads: int, head_dim: int, hg: int) -> np.ndarray:
@@ -239,11 +260,11 @@ def temporal_attention_cmajor(
         bias = jnp.zeros((heads, f, f), jnp.float32)
     _, hg = pick_layout(c, f, s, heads)
     groups = heads // hg
-    # (H, F, F) → (G, (i·F+j)·Hg + h_local, lanes)
-    bias_rows = jnp.transpose(bias.astype(jnp.float32), (1, 2, 0))  # (F, F, H)
-    bias_rows = bias_rows.reshape(f, f, groups, hg)
-    bias_rows = jnp.transpose(bias_rows, (2, 0, 1, 3)).reshape(groups, f * f * hg, 1)
-    bias_rows = jnp.broadcast_to(bias_rows, (groups, f * f * hg, 128))
+    # (H, F, F) → (G, (i·Hg + h_local)·F + j, lanes) — per (i, h) the f
+    # j-rows are contiguous so the kernel slices one (f, S) bias block
+    bias_rows = bias.astype(jnp.float32).reshape(groups, hg, f, f)
+    bias_rows = jnp.transpose(bias_rows, (0, 2, 1, 3)).reshape(groups, f * hg * f, 1)
+    bias_rows = jnp.broadcast_to(bias_rows, (groups, f * hg * f, 128))
     return _temporal_cmajor(
         q, k, v, bias_rows, cs,
         frames=f, heads=heads, head_dim=d, rope_dim=rope_dim, scale=scale,

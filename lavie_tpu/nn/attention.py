@@ -173,13 +173,15 @@ class TemporalAttention(nn.Module):
 
     def channel_major_supported(self, frames: int, s: int) -> bool:
         """True when the channel-major fused kernel (kernels/temporal_fused)
-        should take the (B, F, S, C) layout directly. OPT-IN
-        (LAVIE_TEMPORAL_FUSED=1): measured at parity with XLA end-to-end on
-        the full VSR forward (1095.5 vs 1092.4 ms device) — the frame-axis
-        attention is VPU-floor-bound in either lowering (DESIGN.md)."""
+        should take the (B, F, S, C) layout directly. Default-ON where
+        supported (hg ≥ 2, i.e. head_dim ≤ 64): with fp32-staged k/v the
+        kernel beats XLA at every such cascade shape (VSR L1 20.0 vs 23.3,
+        L2 7.4 vs 8.3, base L0 7.3 vs 13.1 ms) and the channel-major
+        projections remove the layout copies around the XLA path. Disable
+        with LAVIE_TEMPORAL_FUSED=0."""
         import os
 
-        if os.environ.get("LAVIE_TEMPORAL_FUSED", "0") != "1":
+        if os.environ.get("LAVIE_TEMPORAL_FUSED", "1") != "1":
             return False
         if os.environ.get("LAVIE_DISABLE_FLASH") == "1":
             return False
