@@ -97,23 +97,19 @@ def cross_attention(
     scale: float,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused short-kv cross attention over (B, S, H, D)."""
+    """Fused short-kv cross attention over (B, S, H, D). No explicit
+    padding: Mosaic pads the sub-128 minor dim and the 77-row kv sublane
+    dim inside VMEM tiles, so no padded HBM copies are materialized (the
+    original wrapper's jnp.pad of q to d=128 doubled its HBM traffic) and
+    no -inf column mask is needed."""
     b, s, h, d = q.shape
     kv_len = k.shape[1]
-    d_pad = max(((d + 127) // 128) * 128, 128)
-    l_pad = max(((kv_len + 127) // 128) * 128, 128)
 
-    def to_bhsd(x, pad_seq):
+    def to_bhsd(x):
         sk = x.shape[1]
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, sk, d)
-        pads = [(0, 0), (0, pad_seq - sk), (0, d_pad - d)]
-        if any(p != (0, 0) for p in pads):
-            x = jnp.pad(x, pads)
-        return x
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, sk, d)
 
-    qb = to_bhsd(q, s)
-    kb = to_bhsd(k, l_pad)
-    vb = to_bhsd(v, l_pad)
-    out = _cross_bhsd(qb, kb, vb, scale, kv_len, interpret)
-    out = out[..., :d].reshape(b, h, s, d)
+    out = _cross_bhsd(to_bhsd(q), to_bhsd(k), to_bhsd(v), scale, kv_len,
+                      interpret)
+    out = out.reshape(b, h, s, d)
     return jnp.transpose(out, (0, 2, 1, 3))

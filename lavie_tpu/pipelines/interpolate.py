@@ -352,10 +352,16 @@ class VideoInterpolationPipeline:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            spec = P(
-                None,
-                "sp" if out_frames % self.mesh.shape.get("sp", 1) == 0 else None,
-            )
+            sp_n = self.mesh.shape.get("sp", 1)
+            if sp_n > 1 and out_frames % sp_n == 0:
+                spec = P(None, "sp")
+            elif sp_n > 1 and (height // f) % sp_n == 0:
+                # the TSR frame count (61, prime) divides no mesh size — shard
+                # the latent HEIGHT instead; GSPMD inserts the conv halo
+                # exchanges and the per-frame attention gathers automatically
+                spec = P(None, None, "sp")
+            else:
+                spec = P(None)
             init_noise = jax.device_put(init_noise, NamedSharding(self.mesh, spec))
 
         use_mask = mask_type is not None

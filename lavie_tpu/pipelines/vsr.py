@@ -225,10 +225,12 @@ class VideoSuperResolutionPipeline:
 
             x, _ = jax.lax.scan(body, x, (ts_arr, pts_arr))
 
-            # fp32 VAE decode in small FRAME chunks with the batch (window)
-            # axis preserved — on a dp mesh each chip decodes its own window
-            # locally, no cross-chip gathers
-            # (reference: …:741-771 decodes fp32, 4 frames at a time)
+            # VAE decode in small FRAME chunks with the batch (window) axis
+            # preserved — on a dp mesh each chip decodes its own window
+            # locally, no cross-chip gathers. The reference decodes fp32, 4
+            # frames at a time (…:741-771); here the decoder computes in the
+            # pipeline dtype (bf16) with fp32-accumulated norm stats — the
+            # fp32 casts below are interface dtype only.
             z = (x / scaling).astype(jnp.float32)  # (B, F, h, w, 4)
             chunks = []
             for i in range(0, frames, decode_chunk):

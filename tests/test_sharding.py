@@ -126,3 +126,37 @@ class TestShardedPipeline:
         )
         # 61 interpolated frames → VSR window 8 → padded tail trimmed
         assert out.video.shape == (61, 256, 256, 3)
+
+    def test_height_sharded_tsr_matches_unsharded(self, mesh):
+        """TSR's 61-frame output is PRIME — the sp axis can never divide it,
+        so the pipeline shards the latent HEIGHT instead (GSPMD inserts conv
+        halo exchanges and attention gathers). Must equal the meshless run."""
+        import jax.numpy as jnp
+
+        from lavie_tpu.core.config import CLIPTextConfig, VAEConfig
+        from lavie_tpu.pipelines.interpolate import VideoInterpolationPipeline
+
+        kwargs = dict(
+            unet_config=UNetConfig.interpolation().tiny(),
+            vae_config=VAEConfig.sd().tiny(),
+            text_config=CLIPTextConfig.vit_l().tiny(),
+            dtype=jnp.float32,
+        )
+        video = (np.random.RandomState(0).rand(2, 64, 64, 3) * 255).astype(np.uint8)
+
+        ref_pipe = VideoInterpolationPipeline.init_random(jax.random.PRNGKey(0), **kwargs)
+        # out_frames=5: indivisible by sp=2 → triggers the height fallback
+        ref = ref_pipe(video, prompt="x", out_frames=5, num_inference_steps=2,
+                       seed=7).video
+
+        sh_pipe = VideoInterpolationPipeline.init_random(jax.random.PRNGKey(0), **kwargs)
+        sh_pipe.mesh = mesh
+        out = sh_pipe(video, prompt="x", out_frames=5, num_inference_steps=2,
+                      seed=7).video
+        assert out.shape == ref.shape
+        # height sharding splits the GroupNorm spatial reductions across
+        # chips — fp32 partial-sum order shifts a few pixels across the
+        # uint8 rounding boundary (measured 9/61440 at ±1)
+        diff = np.abs(out.astype(np.int16) - ref.astype(np.int16))
+        assert diff.max() <= 1, diff.max()
+        assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
