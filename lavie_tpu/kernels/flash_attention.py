@@ -136,6 +136,22 @@ def _flash_bhsd(q, k, v, scale, interpret=False):
     seq_k = k.shape[1]
     blk_q = _pick_block(seq_q, _q_block_target(seq_q, d))
     blk_k = _pick_block(seq_k)
+
+    def vmem_est(bq, bk):
+        # double-buffered bf16 q/k/v/o tiles + fp32 m/l/acc scratch + the
+        # fp32 s and p score tiles the body materializes
+        return ((2 * bq * d + 2 * bk * d) * 2 * 2
+                + bq * (2 * 128 + d) * 4 + 2 * bq * bk * 4)
+
+    # the VAE mid-attention (single head, S=163840, d=512) blows the 16 MB
+    # scoped-vmem stack at 1024×1024 blocks (8 MB of fp32 scores alone) —
+    # shrink the kv block (the sequential axis: smaller blocks only add
+    # cheap grid steps), then the q block, until the estimate fits
+    while vmem_est(blk_q, blk_k) > 13 * 1024 * 1024 and max(blk_q, blk_k) > 128:
+        if blk_k >= blk_q and blk_k > 128:
+            blk_k = _pick_block(seq_k, blk_k // 2)
+        else:
+            blk_q = _pick_block(seq_q, blk_q // 2)
     kv_blocks = seq_k // blk_k
 
     grid = (bh, seq_q // blk_q, kv_blocks)

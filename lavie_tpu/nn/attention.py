@@ -211,15 +211,20 @@ class TemporalAttention(nn.Module):
         b, f, s, c = hidden_states.shape
         _, hg = pick_layout(c, f, s, self.heads)
 
-        def proj_cm(dense):  # (B,F,S,C) × (C,E) → (E,B,F,S)
-            w = dense.variables["params"]["kernel"].astype(self.dtype)
-            return jax.lax.dot_general(
-                w.T, hidden_states, (((1,), (3,)), ((), ()))
-            )
-
-        q = proj_cm(self.to_q)
-        k = proj_cm(self.to_k)
-        v = proj_cm(self.to_v)
+        # fused qkv: one (3E, C)·(C, B·F·S) GEMM reads the activations once
+        # instead of three times; the (E,·) splits are major-dim views
+        wqkv = jnp.concatenate(
+            [
+                dense.variables["params"]["kernel"].astype(self.dtype)
+                for dense in (self.to_q, self.to_k, self.to_v)
+            ],
+            axis=1,
+        )  # (C, 3E)
+        qkv = jax.lax.dot_general(
+            wqkv.T, hidden_states, (((1,), (3,)), ((), ()))
+        )  # (3E, B, F, S)
+        e = self.heads * self.head_dim
+        q, k, v = qkv[:e], qkv[e : 2 * e], qkv[2 * e :]
 
         if self.variant == "rope_relbias":
             rot = min(self.rope_dim, self.head_dim)
