@@ -211,20 +211,19 @@ class TemporalAttention(nn.Module):
         b, f, s, c = hidden_states.shape
         _, hg = pick_layout(c, f, s, self.heads)
 
-        # fused qkv: one (3E, C)·(C, B·F·S) GEMM reads the activations once
-        # instead of three times; the (E,·) splits are major-dim views
-        wqkv = jnp.concatenate(
-            [
-                dense.variables["params"]["kernel"].astype(self.dtype)
-                for dense in (self.to_q, self.to_k, self.to_v)
-            ],
-            axis=1,
-        )  # (C, 3E)
-        qkv = jax.lax.dot_general(
-            wqkv.T, hidden_states, (((1,), (3,)), ((), ()))
-        )  # (3E, B, F, S)
-        e = self.heads * self.head_dim
-        q, k, v = qkv[:e], qkv[e : 2 * e], qkv[2 * e :]
+        # three separate GEMMs, NOT a fused (3E,C) qkv projection: measured
+        # (VSR L1) the fused variant costs 9.2 ms dot + 3.0 ms for the q/k/v
+        # slices — XLA materializes the slice copies to feed the pallas call
+        # — vs 7.8 ms for separate projections writing kernel inputs directly
+        def proj_cm(dense):  # (B,F,S,C) × (C,E) → (E,B,F,S)
+            w = dense.variables["params"]["kernel"].astype(self.dtype)
+            return jax.lax.dot_general(
+                w.T, hidden_states, (((1,), (3,)), ((), ()))
+            )
+
+        q = proj_cm(self.to_q)
+        k = proj_cm(self.to_k)
+        v = proj_cm(self.to_v)
 
         if self.variant == "rope_relbias":
             rot = min(self.rope_dim, self.head_dim)
