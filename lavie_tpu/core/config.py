@@ -66,6 +66,9 @@ class UNetConfig:
     #   interpolation/models/attention.py:216-244)
     # "none": no temporal attention.
     temporal_attention: str = "rope_relbias"
+    # The interpolation block applies FF BEFORE temporal attention
+    # (reference: interpolation/models/attention.py:570-607); base/VSR after.
+    ff_before_temporal: bool = False
     rope_dim: int = 32
     relpos_num_buckets: int = 32
     relpos_max_distance: int = 32
@@ -80,6 +83,9 @@ class UNetConfig:
     # Insert a TemporalModule3D (true 3D temporal convs) after every
     # down/mid/up block (VSR; reference vsr/models/temporal_module.py:65-178).
     use_temporal_modules: bool = False
+    # VSR: every Transformer3D starts with a ResnetBlock3DCNN(kernel (3,1,1))
+    # inside its residual (reference: vsr/models/attention.py:350, :396-399).
+    transformer_temporal_resblock: bool = False
     temporal_module_kernels: Tuple[int, ...] = (5, 3)
     # optional VersatileSelfAttention branch inside each temporal module —
     # the shipped reference config disables it with ("", "")
@@ -87,6 +93,10 @@ class UNetConfig:
     temporal_module_attention_types: Tuple[str, str] = ("", "")
     temporal_module_cross_frame_mode: str = "0_i-1_i"
     temporal_module_shift_fold_div: int = 2
+    # WarpModule paths (reference: vsr/models/temporal_module.py:570-663);
+    # the shipped config disables warping entirely (use_dcn_warpping: false)
+    temporal_module_use_dcn_warpping: bool = False
+    temporal_module_use_deformable_conv: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -110,6 +120,7 @@ class UNetConfig:
         return cls(
             in_channels=9 if use_mask else 8,
             spatial_attention="sparse_causal",
+            ff_before_temporal=True,
             # the shipped TSR never enables use_relative_position — its
             # temporal attention is plain (reference:
             # interpolation/models/unet.py:100 default False; from_pretrained_2d
@@ -145,6 +156,7 @@ class UNetConfig:
             class_embed_type="num_embeds",
             num_class_embeds=1000,
             use_temporal_modules=True,
+            transformer_temporal_resblock=True,
             spatial_attention="self",
             temporal_attention="rope_relbias",
         )
@@ -214,6 +226,11 @@ class CLIPTextConfig:
     intermediate_size: int = 3072
     max_position_embeddings: int = 77
     layer_norm_eps: float = 1e-5
+    # CLIP joint-embedding dimension (text_projection/visual_projection);
+    # ViT-L/14: 768, ViT-B/32: 512. Used by the CLIPSIM scorer
+    # (reference: base/pipelines/fine_tuning.py:860-892 scores with the
+    # projection heads via the `clip` package).
+    projection_dim: int = 768
     # OpenCLIP-H for the VSR stage text states (1024-d)
     @classmethod
     def vit_l(cls) -> "CLIPTextConfig":

@@ -6,17 +6,22 @@ features, fit Gaussians to real/generated feature sets, compute the Fréchet
 distance with the scipy sqrtm covariance term (reference: ucf.py:189-196).
 
 The reference substitutes torchvision R3D-18 penultimate features for I3D
-(reference: fine_tuning.py:791-793). torchvision is not in this image, so the
-feature extractor is pluggable: `Conv3DFeatureNet` is a small flax 3D-conv
-tower with the same (B, F, H, W, 3) → (B, D) contract; converted R3D-18
-weights slot in when available.
+(reference: fine_tuning.py:791-795): `r3d_18(pretrained=True)` with the
+classifier stripped → 512-d global-avg-pooled features. The extractor here is
+eval.r3d.R3D18 — the same architecture natively in flax, weights convertible
+from the torchvision checkpoint via eval.r3d.convert_r3d18 (layout
+parity-tested in tests/test_torch_parity.py). Random-init runs are
+structural only.
+
+Preprocessing follows the fork exactly: /255, center-crop 270, resize 224,
+ImageNet mean/std (reference: ucf.py:126-156 — the fork uses ImageNet stats,
+not torchvision's Kinetics stats).
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,30 +46,39 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray, eps: float = 1e-6
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
 
 
-class Conv3DFeatureNet(nn.Module):
-    """Small R3D-style 3D-conv feature tower: (B, F, H, W, 3) → (B, features).
-    Channels-last; strided 3D convs halve space (and time from stage 2)."""
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
-    widths: Sequence[int] = (32, 64, 128, 256)
-    features: int = 400
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        for i, w in enumerate(self.widths):
-            strides = (1, 2, 2) if i == 0 else (2, 2, 2)
-            x = nn.Conv(w, (3, 3, 3), strides=strides, name=f"conv{i}")(x)
-            x = nn.GroupNorm(num_groups=8, name=f"norm{i}")(x)
-            x = nn.relu(x)
-        x = jnp.mean(x, axis=(1, 2, 3))  # global average pool
-        return nn.Dense(self.features, name="head")(x)
+def fvd_preprocess(
+    videos: np.ndarray, num_frames: int = 16, crop: int = 270, size: int = 224
+) -> np.ndarray:
+    """uint8 (B, F, H, W, 3) → (B, num_frames, size, size, 3) normalized —
+    the fork's exact recipe: /255, CenterCrop(270), Resize(224), ImageNet
+    mean/std (reference: ucf.py:126-156)."""
+    from lavie_tpu.data.transforms import resize_bilinear
+
+    idx = np.linspace(0, videos.shape[1] - 1, num_frames).astype(int)
+    clips = videos[:, idx].astype(np.float32) / 255.0
+    h, w = clips.shape[2:4]
+    c = min(crop, h, w)
+    y0, x0 = (h - c) // 2, (w - c) // 2
+    clips = clips[:, :, y0 : y0 + c, x0 : x0 + c]
+    clips = np.stack([resize_bilinear(v, (size, size)) for v in clips])
+    return (clips - IMAGENET_MEAN) / IMAGENET_STD
 
 
 class FVDFeatureExtractor:
+    """R3D-18 penultimate features, (B, F, H, W, 3) uint8 → (B, 512)."""
+
     def __init__(self, params: Optional[Any] = None, rng: Optional[jax.Array] = None,
-                 num_frames: int = 16, size: int = 112):
-        self.net = Conv3DFeatureNet()
+                 num_frames: int = 16, size: int = 224, batch: int = 4):
+        from lavie_tpu.eval.r3d import R3D18
+
+        self.net = R3D18(features_only=True)
         self.num_frames = num_frames
         self.size = size
+        self.batch = batch
         if params is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             params = jax.jit(self.net.init)(
@@ -73,16 +87,21 @@ class FVDFeatureExtractor:
         self.params = params
         self._fn = jax.jit(lambda p, x: self.net.apply({"params": p}, x))
 
-    def __call__(self, videos: np.ndarray) -> np.ndarray:
-        """videos: (B, F, H, W, 3) uint8 → (B, D) features. Uniformly samples
-        num_frames and resizes to size×size (reference: ucf.py:126-156)."""
-        from lavie_tpu.data.transforms import resize_bilinear
+    @classmethod
+    def from_torchvision_state_dict(cls, state_dict, **kw) -> "FVDFeatureExtractor":
+        """Build from a torchvision r3d_18 state dict (numpy tensors)."""
+        from lavie_tpu.eval.r3d import convert_r3d18
 
-        b = videos.shape[0]
-        idx = np.linspace(0, videos.shape[1] - 1, self.num_frames).astype(int)
-        clips = videos[:, idx].astype(np.float32) / 127.5 - 1.0
-        clips = np.stack([resize_bilinear(c, (self.size, self.size)) for c in clips])
-        return np.asarray(self._fn(self.params, jnp.asarray(clips)))
+        ext = cls(**kw)
+        ext.params = convert_r3d18(jax.tree.map(np.asarray, ext.params), state_dict)
+        return ext
+
+    def __call__(self, videos: np.ndarray) -> np.ndarray:
+        clips = fvd_preprocess(videos, self.num_frames, size=self.size)
+        outs = []
+        for i in range(0, clips.shape[0], self.batch):
+            outs.append(np.asarray(self._fn(self.params, jnp.asarray(clips[i : i + self.batch]))))
+        return np.concatenate(outs, axis=0)
 
 
 def compute_fvd(

@@ -19,6 +19,7 @@ Shapes follow the TPU-friendly (batch, seq, heads, head_dim) convention.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -106,8 +107,6 @@ def _cross_kernel_supported(q, k, bias) -> bool:
     kv (text states). Avoids the HBM score-tensor round trip — measured 4 GB
     per VSR 512-channel block on the XLA path. LAVIE_DISABLE_FLASH=1 disables
     all Pallas attention for A/B benching."""
-    import os
-
     if os.environ.get("LAVIE_DISABLE_FLASH") == "1":
         return False
     if not _on_tpu() or bias is not None:
@@ -125,8 +124,6 @@ def _flash_supported(q, k, bias) -> bool:
     """Flash kernel constraints: TPU backend, long-enough self-attention
     sequences to be worth tiling, no bias (small temporal attention keeps the
     XLA path). Set LAVIE_DISABLE_FLASH=1 to force the XLA path (A/B benching)."""
-    import os
-
     if os.environ.get("LAVIE_DISABLE_FLASH") == "1":
         return False
     if not _on_tpu() or bias is not None:

@@ -112,21 +112,21 @@ def flash_supported_shape(
     return _pick_block(seq_q) >= 128 and _pick_block(seq_k) >= 128
 
 
-def _q_block_target(seq_q: int, d: int) -> int:
+def _q_block_target(seq_q: int, d: int, override: int = 0) -> int:
     """Bigger q blocks amortize per-cell overhead when the per-cell MXU work
     is thin (sub-128 d pads to 128 lanes: at d=40 a 640×640 tile is only
     ~31% useful). The sequential kv axis makes blk_q the only per-cell work
-    knob. Overridable for experiments via LAVIE_FLASH_BLKQ."""
-    import os
-
-    env = os.environ.get("LAVIE_FLASH_BLKQ")
-    if env:
-        return int(env)
+    knob. `override` carries the LAVIE_FLASH_BLKQ experiment knob — read by
+    the UN-jitted wrapper and passed here as a static arg, so changing the
+    env var always takes effect (a read inside the jitted trace would be
+    frozen by the compile cache and silently invalidate A/B measurements)."""
+    if override:
+        return override
     return 2048 if d < 128 else 1024
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _flash_bhsd(q, k, v, scale, interpret=False):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "blkq_override"))
+def _flash_bhsd(q, k, v, scale, interpret=False, blkq_override=0):
     """q: (BH, Sq, D), k/v: (BH, Sk, D) → (BH, Sq, D). Sk may differ from
     Sq (sparse-causal kv is 2·Sq). NOTE a (B,S,H,D)-native variant with
     heads as a grid axis is impossible: Pallas requires blocks to cover the
@@ -134,7 +134,7 @@ def _flash_bhsd(q, k, v, scale, interpret=False):
     single-head slice of the (H, D) tile plane is neither."""
     bh, seq_q, d = q.shape
     seq_k = k.shape[1]
-    blk_q = _pick_block(seq_q, _q_block_target(seq_q, d))
+    blk_q = _pick_block(seq_q, _q_block_target(seq_q, d, blkq_override))
     blk_k = _pick_block(seq_k)
 
     def vmem_est(bq, bk):
@@ -191,13 +191,16 @@ def flash_attention(
     D=40/64 blocks avoids the padded HBM copies (and their 3.2× read
     traffic) the old wrapper paid for."""
     assert bias is None, "flash path takes no bias (temporal attn stays XLA)"
+    import os
+
     b, s, h, d = q.shape
+    blkq_override = int(os.environ.get("LAVIE_FLASH_BLKQ", "0") or 0)
 
     def to_bhsd(x):
         sk = x.shape[1]
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, sk, d)
 
     out = _flash_bhsd(to_bhsd(q), to_bhsd(k), to_bhsd(v), scale,
-                      interpret=interpret)
+                      interpret=interpret, blkq_override=blkq_override)
     out = out.reshape(b, h, s, d)
     return jnp.transpose(out, (0, 2, 1, 3))

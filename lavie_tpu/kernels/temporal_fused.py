@@ -128,22 +128,31 @@ def pick_layout(c: int, frames: int, s: int, heads: int):
     """Choose (lane block, heads per group). Lane blocks must be ≥128; wide
     channel counts split the head axis over a third grid dim instead of
     shrinking the lane block. VMEM estimate: 8 bf16 tiles (double-buffered
-    q/k/v + out pipeline) + bf16 rope-staged q/k + fp32 working set."""
+    q/k/v + out pipeline) + bf16 rope-staged q/k + fp32 working set.
+
+    The LAVIE_TF_HG / LAVIE_TF_BLK experiment knobs are read here — this
+    function must only be called from UN-jitted code (gates and the
+    `temporal_attention_cmajor` wrapper), which passes the result into the
+    jitted `_temporal_cmajor` as static args; an env read inside the jitted
+    trace would be frozen by the compile cache."""
     # Empirical Mosaic stack limits (measured on v5e): the fully-unrolled
     # f² body's stack scales with cg·blk; cg=128/blk=256 fits only when the
     # grid is 1 (no double buffering), cg=256/blk=128 blows the 16 MB scoped
-    # VMEM. cg ≤ 128 with blk=128 compiles at every cascade shape.
+    # VMEM. cg ≤ 128 with blk=128 compiles at every cascade shape — the
+    # cg clamp below is a hard guard, env overrides included.
     d = c // heads
     import os
 
     env_hg = os.environ.get("LAVIE_TF_HG")
     hg = int(env_hg) if env_hg else 0
+    if hg and (hg * d > 128 or heads % hg != 0):
+        hg = 0  # reject overrides selecting a known-crashing cg
     if not hg:
         hg = heads
         while hg > 1 and (hg * d > 128 or heads % hg != 0):
             hg //= 2
     cg = hg * d
-    if cg % 8 != 0 or cg > 256:
+    if cg % 8 != 0 or cg > 128:
         return 0, 0
     env_blk = os.environ.get("LAVIE_TF_BLK")
     blks = (int(env_blk),) if env_blk else (128,)
@@ -206,12 +215,12 @@ def rope_tables_cmajor(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("frames", "heads", "head_dim", "rope_dim", "scale", "interpret"),
+    static_argnames=("frames", "heads", "head_dim", "rope_dim", "scale",
+                     "blk", "hg", "interpret"),
 )
 def _temporal_cmajor(q, k, v, bias_rows, cs, *, frames, heads, head_dim,
-                     rope_dim, scale, interpret=False):
+                     rope_dim, scale, blk, hg, interpret=False):
     c, b, f, s = q.shape
-    blk, hg = pick_layout(c, f, s, heads)
     cg = hg * head_dim
     groups = heads // hg
     grid = (b, s // blk, groups)
@@ -258,7 +267,8 @@ def temporal_attention_cmajor(
     d = c // heads
     if bias is None:
         bias = jnp.zeros((heads, f, f), jnp.float32)
-    _, hg = pick_layout(c, f, s, heads)
+    blk, hg = pick_layout(c, f, s, heads)
+    assert blk > 0 and hg > 0, (c, f, s, heads)
     groups = heads // hg
     # (H, F, F) → (G, (i·Hg + h_local)·F + j, lanes) — per (i, h) the f
     # j-rows are contiguous so the kernel slices one (f, S) bias block
@@ -268,5 +278,5 @@ def temporal_attention_cmajor(
     return _temporal_cmajor(
         q, k, v, bias_rows, cs,
         frames=f, heads=heads, head_dim=d, rope_dim=rope_dim, scale=scale,
-        interpret=interpret,
+        blk=blk, hg=hg, interpret=interpret,
     )

@@ -217,9 +217,17 @@ class CLIPVisionConfig:
 
 
 class CLIPVisionModel(nn.Module):
-    """Pixel values (B, H, W, 3) → last_hidden_state (B, 1+patches, hidden)."""
+    """Pixel values (B, H, W, 3) → last_hidden_state (B, 1+patches, hidden).
+
+    with_post_layernorm additionally applies the transformer's final
+    `post_layernorm`. The fork's image-conditioning path consumes the RAW
+    last_hidden_state (reference: base/pipelines/inference.py:286-292), so it
+    stays off there; the CLIP scoring head pools the post-LN CLS token
+    (transformers CLIPVisionTransformer.forward — LayerNorm is per-token, so
+    normalizing all tokens then slicing CLS equals HF's pooled_output)."""
 
     config: CLIPVisionConfig
+    with_post_layernorm: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -266,4 +274,58 @@ class CLIPVisionModel(nn.Module):
                 param_dtype=self.param_dtype,
                 name=f"layers_{i}",
             )(x)
+        if self.with_post_layernorm:
+            x = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                param_dtype=jnp.float32, name="post_layernorm",
+            )(x.astype(jnp.float32)).astype(self.dtype)
         return x
+
+
+class CLIPDualEncoder(nn.Module):
+    """The CLIP joint text↔image embedding model (transformers CLIPModel):
+    EOS-pooled text + `text_projection`, post-LN CLS-pooled vision +
+    `visual_projection`. This is the scoring model behind the reference's
+    CLIPSIM metric (reference: base/pipelines/fine_tuning.py:860-892,
+    evaluation.py:73-83 — both score via CLIP projection embeddings).
+    Param names mirror transformers.CLIPModel so conversion is a string map
+    (io.convert.convert_clip_dual_encoder)."""
+
+    text_config: CLIPTextConfig
+    vision_config: CLIPVisionConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.text_model = CLIPTextModel(
+            config=self.text_config, name="text_model", **common
+        )
+        self.vision_model = CLIPVisionModel(
+            config=self.vision_config, with_post_layernorm=True,
+            name="vision_model", **common,
+        )
+        proj = self.text_config.projection_dim
+        self.text_projection = nn.Dense(
+            proj, use_bias=False, name="text_projection", **common
+        )
+        self.visual_projection = nn.Dense(
+            proj, use_bias=False, name="visual_projection", **common
+        )
+
+    def get_text_embeds(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """(B, L) ids → (B, proj) — EOS-pooled (argmax of ids finds the first
+        EOS: eot is the highest id in the CLIP vocab, and padding repeats it;
+        argmax returns the first occurrence)."""
+        hidden = self.text_model(input_ids)
+        eos_idx = jnp.argmax(input_ids, axis=-1)
+        pooled = hidden[jnp.arange(hidden.shape[0]), eos_idx]
+        return self.text_projection(pooled)
+
+    def get_image_embeds(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) → (B, proj) — post-LN CLS pooled."""
+        hidden = self.vision_model(pixel_values)
+        return self.visual_projection(hidden[:, 0])
+
+    def __call__(self, input_ids: jnp.ndarray, pixel_values: jnp.ndarray):
+        return self.get_text_embeds(input_ids), self.get_image_embeds(pixel_values)

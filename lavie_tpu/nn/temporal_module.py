@@ -35,6 +35,8 @@ class TemporalModule3D(nn.Module):
     temporal_shift_fold_div: int = 2
     attention_dim_div: int = 2
     num_attention_heads: int = 8
+    use_dcn_warpping: bool = False
+    use_deformable_conv: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -82,6 +84,8 @@ class TemporalModule3D(nn.Module):
                 attention_block_types=tuple(self.attention_block_types),
                 cross_frame_attention_mode=self.cross_frame_attention_mode,
                 temporal_shift_fold_div=self.temporal_shift_fold_div,
+                use_dcn_warpping=self.use_dcn_warpping,
+                use_deformable_conv=self.use_deformable_conv,
                 name="attentions_0",
                 **common,
             )(tokens, ts, video_length=f)

@@ -144,6 +144,11 @@ class BasicTransformerBlock(nn.Module):
     rope_dim: int = 32
     relpos_num_buckets: int = 32
     relpos_max_distance: int = 32
+    # The interpolation stage's block applies the FF BEFORE temporal
+    # attention (reference: interpolation/models/attention.py:570-607);
+    # base and VSR apply it after (base/models/attention.py:511-560,
+    # vsr/models/attention.py:552-593). Order matters with trained weights.
+    ff_before_temporal: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -165,7 +170,12 @@ class BasicTransformerBlock(nn.Module):
             )
         self.norm1 = LayerNorm(dtype=self.dtype, name="norm1")
 
-        if self.cross_attention_dim is not None and not self.only_cross_attention:
+        # attn2 exists whenever cross_attention_dim is set — INCLUDING
+        # only-cross blocks, which therefore run TWO text cross-attentions
+        # (attn1 with text kv, then attn2): reference
+        # vsr/models/attention.py:489-506 builds attn2 unconditionally and
+        # :571-580 runs it. The x4-upscaler checkpoint carries those weights.
+        if self.cross_attention_dim is not None:
             self.attn2 = Attention(
                 query_dim=self.dim,
                 heads=self.heads,
@@ -220,6 +230,11 @@ class BasicTransformerBlock(nn.Module):
                 + hidden_states
             )
 
+        # The interpolation block runs FF before temporal attention; base and
+        # VSR run it after (see ff_before_temporal).
+        if self.ff_before_temporal:
+            hidden_states = self.ff(self.norm3(hidden_states)) + hidden_states
+
         # temporal attention over the frame axis: (B·F, S, C) → (B·S, F, C).
         # In joint image-video training the trailing `image_frames` stills are
         # excluded from temporal attention (reference:
@@ -238,29 +253,26 @@ class BasicTransformerBlock(nn.Module):
                 x4 = hidden_states.reshape(b, video_length, s, c)
                 x4 = self.attn_temp.channel_major(self.norm_temp(x4)) + x4
                 hidden_states = x4.reshape(bf, s, c)
-                hidden_states = self.ff(self.norm3(hidden_states)) + hidden_states
-                return hidden_states
-            if image_frames == 0 and self.attn_temp.folded_supported(video_length, s):
+            elif image_frames == 0 and self.attn_temp.folded_supported(video_length, s):
                 # fused kernel path: stays in (B, F, S, C), no transposes
                 x4 = hidden_states.reshape(b, video_length, s, c)
                 x4 = self.attn_temp.folded(self.norm_temp(x4)) + x4
                 hidden_states = x4.reshape(bf, s, c)
-                hidden_states = self.ff(self.norm3(hidden_states)) + hidden_states
-                return hidden_states
-            x = hidden_states.reshape(b, video_length, s, c)
-            x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * s, video_length, c)
-            if image_frames > 0:
-                vid = x[:, : video_length - image_frames]
-                img = x[:, video_length - image_frames:]
-                vid = self.attn_temp(self.norm_temp(vid)) + vid
-                x = jnp.concatenate([vid, img], axis=1)
             else:
-                x = self.attn_temp(self.norm_temp(x)) + x
-            x = x.reshape(b, s, video_length, c)
-            hidden_states = jnp.transpose(x, (0, 2, 1, 3)).reshape(bf, s, c)
+                x = hidden_states.reshape(b, video_length, s, c)
+                x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * s, video_length, c)
+                if image_frames > 0:
+                    vid = x[:, : video_length - image_frames]
+                    img = x[:, video_length - image_frames:]
+                    vid = self.attn_temp(self.norm_temp(vid)) + vid
+                    x = jnp.concatenate([vid, img], axis=1)
+                else:
+                    x = self.attn_temp(self.norm_temp(x)) + x
+                x = x.reshape(b, s, video_length, c)
+                hidden_states = jnp.transpose(x, (0, 2, 1, 3)).reshape(bf, s, c)
 
-        # feed-forward
-        hidden_states = self.ff(self.norm3(hidden_states)) + hidden_states
+        if not self.ff_before_temporal:
+            hidden_states = self.ff(self.norm3(hidden_states)) + hidden_states
         return hidden_states
 
 
@@ -282,29 +294,44 @@ class Transformer3D(nn.Module):
     rope_dim: int = 32
     relpos_num_buckets: int = 32
     relpos_max_distance: int = 32
+    ff_before_temporal: bool = False
+    # VSR: a ResnetBlock3DCNN(kernel (3,1,1)) runs before the transformer,
+    # inside its residual (reference: vsr/models/attention.py:350, :396-399)
+    use_temporal_resblock: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
         inner = self.heads * self.head_dim
+        if self.use_temporal_resblock:
+            from lavie_tpu.nn.resnet import ResnetBlock3DCNN
+
+            self.temporal_resblock = ResnetBlock3DCNN(
+                in_channels=self.in_channels,
+                out_channels=self.in_channels,
+                kernel_frames=3,
+                temb_channels=None,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="resblock_temporal",
+            )
+        else:
+            self.temporal_resblock = None
         self.norm = GroupNorm(
             num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
         )
-        if self.use_linear_projection:
-            self.proj_in = nn.Dense(
-                inner, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
-            )
-            self.proj_out = nn.Dense(
-                self.in_channels, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
-            )
-        else:
-            # 1x1 conv == dense over the channel axis in channels-last layout
-            self.proj_in = nn.Dense(
-                inner, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
-            )
-            self.proj_out = nn.Dense(
-                self.in_channels, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
-            )
+        # use_linear_projection is intentionally layout-only here: in
+        # channels-last a 1×1 conv IS a dense over the channel axis, so both
+        # reference variants (nn.Linear vs nn.Conv2d 1×1 —
+        # vsr/configs/unet_3d_config.json use_linear_projection=true vs the
+        # base UNet's conv projections) collapse to the same module; the
+        # converter maps either weight shape onto it (io/convert.py).
+        self.proj_in = nn.Dense(
+            inner, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
+        )
+        self.proj_out = nn.Dense(
+            self.in_channels, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
+        )
         self.transformer_blocks = [
             BasicTransformerBlock(
                 dim=inner,
@@ -317,6 +344,7 @@ class Transformer3D(nn.Module):
                 rope_dim=self.rope_dim,
                 relpos_num_buckets=self.relpos_num_buckets,
                 relpos_max_distance=self.relpos_max_distance,
+                ff_before_temporal=self.ff_before_temporal,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
             )
@@ -333,6 +361,12 @@ class Transformer3D(nn.Module):
         image_frames: int = 0,
     ) -> jnp.ndarray:
         b, f, h, w, c = hidden_states.shape
+        if self.temporal_resblock is not None:
+            # VSR: a (3,1,1) 3D-CNN resnet runs BEFORE the transformer and
+            # INSIDE its residual — output = transformer(x') + x' with
+            # x' = resblock_temporal(x) (reference:
+            # vsr/models/attention.py:350, :396-399, :436 residual placement)
+            hidden_states = self.temporal_resblock(hidden_states, None)
         residual = hidden_states
         x, _ = fold_frames(hidden_states)  # (B·F, H, W, C)
         x = self.norm(x)

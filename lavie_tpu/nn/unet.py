@@ -38,6 +38,8 @@ def _attn_kwargs(cfg: UNetConfig, channels: int, only_cross: bool, dtype, param_
         rope_dim=cfg.rope_dim,
         relpos_num_buckets=cfg.relpos_num_buckets,
         relpos_max_distance=cfg.relpos_max_distance,
+        ff_before_temporal=cfg.ff_before_temporal,
+        use_temporal_resblock=cfg.transformer_temporal_resblock,
         dtype=dtype,
         param_dtype=param_dtype,
     )
@@ -369,6 +371,8 @@ class UNet3D(nn.Module):
                 attention_block_types=cfg.temporal_module_attention_types,
                 cross_frame_attention_mode=cfg.temporal_module_cross_frame_mode,
                 temporal_shift_fold_div=cfg.temporal_module_shift_fold_div,
+                use_dcn_warpping=cfg.temporal_module_use_dcn_warpping,
+                use_deformable_conv=cfg.temporal_module_use_deformable_conv,
                 num_attention_heads=cfg.num_attention_heads,
                 **common,
             )

@@ -13,10 +13,11 @@ exposes them, so they are implemented for parity
       "SpatialTemporalShift" — TSM-style channel shift on k/v
   - AdaLayerNorm: timestep-indexed scale/shift LayerNorm
   - TemporalTransformerBlock / TemporalTransformer3DModel wiring
-  - bilinear_warp: the optical-flow grid_sample path of WarpModule
-    (reference: temporal_module.py:588-663; the deformable-conv variant is a
-    torchvision CUDA op with no TPU analog — flow warping covers the shipped
-    `use_dcn_warpping: false` semantics)
+  - WarpModule, both paths (reference: temporal_module.py:570-663):
+    bilinear_warp (optical-flow grid_sample) and the modulated
+    deformable-conv path — torchvision's CUDA `deform_conv2d` rebuilt as
+    9 bilinear gathers + per-tap matmuls (`deform_conv2d` below). The
+    shipped config never runs either (`use_dcn_warpping: false`).
 """
 
 from __future__ import annotations
@@ -168,6 +169,11 @@ class TemporalTransformerBlock(nn.Module):
     attention_block_types: Tuple[str, str]
     cross_frame_attention_mode: Optional[str] = None
     temporal_shift_fold_div: int = 2
+    # DCN/flow warp: the SECOND (temporal) attention's output becomes the
+    # offset source for WarpModule instead of a residual add
+    # (reference: temporal_module.py:416-421)
+    use_dcn_warpping: bool = False
+    use_deformable_conv: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -178,7 +184,7 @@ class TemporalTransformerBlock(nn.Module):
             if not mode:
                 continue
             normed = AdaLayerNorm(self.dim, name=f"norms_{i}", **common)(x, timestep)
-            x = VersatileSelfAttention(
+            attn_out = VersatileSelfAttention(
                 query_dim=self.dim,
                 heads=self.heads,
                 head_dim=self.head_dim,
@@ -187,7 +193,16 @@ class TemporalTransformerBlock(nn.Module):
                 temporal_shift_fold_div=self.temporal_shift_fold_div,
                 name=f"attention_blocks_{i}",
                 **common,
-            )(normed, video_length) + x
+            )(normed, video_length)
+            if i == len(self.attention_block_types) - 1 and self.use_dcn_warpping:
+                x = WarpModule(
+                    in_channels=self.dim,
+                    use_deformable_conv=self.use_deformable_conv,
+                    name="dcn_module",
+                    **common,
+                )(x, attn_out)
+            else:
+                x = attn_out + x
         normed = AdaLayerNorm(self.dim, name="ff_norm", **common)(x, timestep)
         from lavie_tpu.nn.transformer import FeedForward
 
@@ -221,3 +236,129 @@ def bilinear_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     top = gather(y0, x0) * (1 - wx) + gather(y0, x1) * wx
     bot = gather(y1, x0) * (1 - wx) + gather(y1, x1) * wx
     return top * (1 - wy) + bot * wy
+
+
+def _bilinear_sample_zero(x: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of (N, H, W, C) at float coords (N, H, W), with ZERO
+    contribution from out-of-bounds corners (torchvision deform_conv2d
+    padding semantics)."""
+    n, h, w, c = x.shape
+    y0f, x0f = jnp.floor(sy), jnp.floor(sx)
+    wy = (sy - y0f)[..., None]
+    wx = (sx - x0f)[..., None]
+    flat = x.reshape(n, h * w, c)
+
+    def corner(yy, xx):
+        valid = ((yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)).astype(x.dtype)
+        yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        idx = (yc * w + xc).reshape(n, h * w, 1)
+        g = jnp.take_along_axis(flat, idx, axis=1).reshape(n, h, w, c)
+        return g * valid[..., None]
+
+    top = corner(y0f, x0f) * (1 - wx) + corner(y0f, x0f + 1) * wx
+    bot = corner(y0f + 1, x0f) * (1 - wx) + corner(y0f + 1, x0f + 1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def deform_conv2d(
+    x: jnp.ndarray,       # (N, H, W, C) channels-last
+    offset: jnp.ndarray,  # (N, H, W, 2·K) — (Δy, Δx) interleaved per tap,
+                          # torchvision's layout
+    weight: jnp.ndarray,  # (O, C, kh, kw) — torch layout, kept verbatim so
+                          # checkpoint weights map without a transpose pass
+    mask: jnp.ndarray,    # (N, H, W, K) modulation
+) -> jnp.ndarray:
+    """Modulated deformable 3×3 convolution (stride 1, pad 1) — the TPU
+    rebuild of `torchvision.ops.deform_conv2d`
+    (reference: temporal_module.py:605-612): per kernel tap, bilinear-gather
+    the shifted feature map, modulate, and contract with that tap's (C, O)
+    weight slice. K taps = K gathers + K matmuls; no scatter, no dynamic
+    shapes — XLA-friendly."""
+    n, h, w, c = x.shape
+    kh, kw = weight.shape[2], weight.shape[3]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    out = None
+    k = 0
+    for ki in range(kh):
+        for kj in range(kw):
+            dy = offset[..., 2 * k].astype(jnp.float32)
+            dx = offset[..., 2 * k + 1].astype(jnp.float32)
+            sy = ys + (ki - (kh - 1) // 2) + dy
+            sx = xs + (kj - (kw - 1) // 2) + dx
+            samp = _bilinear_sample_zero(x, sy, sx)
+            samp = samp * mask[..., k][..., None]
+            wk = weight[:, :, ki, kj].T.astype(x.dtype)  # (C, O)
+            term = samp @ wk
+            out = term if out is None else out + term
+            k += 1
+    return out
+
+
+class WarpModule(nn.Module):
+    """Offset-driven warping of hidden states (reference:
+    temporal_module.py:570-663). Two paths:
+
+      use_deformable_conv=True — conv(concat) → 27 offset/mask channels →
+        modulated deformable conv, blended by a zero-init per-channel alpha
+        (`alpha·dcn(x) + x`);
+      False — zero-init conv(concat... actually conv(x‖offsets)) → 2-ch flow
+        → bilinear optical-flow warp with the reference's validity mask.
+
+    Inputs are token rows (N, S, C) with S = H·W square (reference asserts
+    the same)."""
+
+    in_channels: int
+    use_deformable_conv: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jnp.ndarray, offset_hidden_states: jnp.ndarray) -> jnp.ndarray:
+        n, s, c = hidden_states.shape
+        size = int(round(s ** 0.5))
+        assert size * size == s, "WarpModule expects square token grids"
+        x = hidden_states.reshape(n, size, size, c)
+        off_in = offset_hidden_states.reshape(n, size, size, c)
+        concat = jnp.concatenate([x, off_in], axis=-1)
+
+        if self.use_deformable_conv:
+            raw = nn.Conv(
+                27, (3, 3), padding=((1, 1), (1, 1)), name="conv",
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )(concat)
+            # reference chunks into (x, y, mask) thirds then re-concats x‖y —
+            # i.e. channels [0:18] feed torchvision's interleaved (Δy, Δx)
+            # slots verbatim (temporal_module.py:601-605)
+            offsets = raw[..., :18]
+            mask = jax.nn.sigmoid(raw[..., 18:]) * 2.0
+            dcn_weight = self.param(
+                "dcn_weight",
+                nn.initializers.normal(1.0 / np.sqrt(self.in_channels * 9)),
+                (self.in_channels, self.in_channels, 3, 3),
+                self.param_dtype,
+            )
+            alpha = self.param(
+                "alpha", nn.initializers.zeros, (1, self.in_channels, 1, 1),
+                self.param_dtype,
+            )
+            warped = deform_conv2d(x, offsets, dcn_weight.astype(self.dtype), mask)
+            alpha_hw = jnp.transpose(alpha, (0, 2, 3, 1)).astype(x.dtype)  # (1,1,1,C)
+            out = alpha_hw * warped + x
+        else:
+            flow = nn.Conv(
+                2, (3, 3), padding=((1, 1), (1, 1)), kernel_init=nn.initializers.zeros,
+                name="conv", dtype=self.dtype, param_dtype=self.param_dtype,
+            )(concat)
+            out = flow_warp_with_mask(x, flow)
+        return out.reshape(n, s, c)
+
+
+def flow_warp_with_mask(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """The reference's optical_flow_warping incl. its validity-mask quirk:
+    the mask is grid_sample(x, …) (not ones — temporal_module.py:655-659 as
+    written), thresholded at 0.9999 → binarized, multiplied in."""
+    warped = bilinear_warp(x.astype(jnp.float32), flow.astype(jnp.float32))
+    mask = jnp.where(warped < 0.9999, 0.0, 1.0)
+    return (warped * mask).astype(x.dtype)

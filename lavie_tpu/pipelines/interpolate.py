@@ -138,7 +138,15 @@ class VideoInterpolationPipeline:
 
         ts, pts = spaced_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
         ts_arr, pts_arr = jnp.asarray(ts), jnp.asarray(pts)
-        cond_idx = jnp.asarray(copied_video_indices(out_frames))
+        cond_idx = copied_video_indices(out_frames)
+        # Only the KEY frames (every 4th slot — the reference's 16 actually-
+        # encoded input frames, interpolation/sample.py:141-148) ever reach
+        # the conditioning latent; encoding all 61 resampled frames would be
+        # ~3.8× wasted VAE-encode work. Encode the keys, then expand.
+        key_slots = np.unique(cond_idx)
+        key_slots_j = jnp.asarray(key_slots)
+        cond_from_key = jnp.asarray(np.searchsorted(key_slots, cond_idx))
+        n_key = len(key_slots)
 
         def sample_fn(params, token_ids, frames, init_noise, guidance_scale,
                       sample_rng, frame_mask=None):
@@ -152,11 +160,16 @@ class VideoInterpolationPipeline:
             ).astype(dtype)
 
             if use_mask:
-                # zero out the frames to generate before encoding
+                # zero out the frames to generate before encoding; the masked
+                # video itself is the conditioning, so ALL frames encode
                 frames = frames * (1.0 - frame_mask)[:, :, None, None, None]
+                enc_frames, n_enc = frames, out_frames
+            else:
+                enc_frames = jnp.take(frames, key_slots_j, axis=1)
+                n_enc = n_key
 
-            # VAE-encode all frames (folded into batch), sample the posterior
-            x2d = frames.reshape(batch * out_frames, height, width, 3).astype(dtype)
+            # VAE-encode (folded into batch), sample the posterior
+            x2d = enc_frames.reshape(batch * n_enc, height, width, 3).astype(dtype)
             mean, logvar = vae.apply(
                 {"params": params["vae"]}, x2d, method=AutoencoderKL.encode
             )
@@ -164,21 +177,19 @@ class VideoInterpolationPipeline:
                 {"params": params["vae"]}, mean, logvar, sample_rng,
                 method=AutoencoderKL.sample_posterior,
             )
-            z = (z.astype(jnp.float32) * scaling).reshape(batch, out_frames, lat_h, lat_w, -1)
+            z = (z.astype(jnp.float32) * scaling).reshape(batch, n_enc, lat_h, lat_w, -1)
 
             if use_mask:
-                # conditioning is the masked video itself; the mask rides as a
-                # 5th channel (9-ch UNet input, reference:
+                # the mask rides as a 5th channel (9-ch UNet input, reference:
                 # gaussian_diffusion.py:300, interpolation/models/unet.py:503-508)
-                cond = z
                 mask_lat = jnp.broadcast_to(
                     frame_mask[:, :, None, None, None],
                     (batch, out_frames, lat_h, lat_w, 1),
                 ).astype(jnp.float32)
-                extra = jnp.concatenate([mask_lat, cond], axis=-1)
+                extra = jnp.concatenate([mask_lat, z], axis=-1)
             else:
                 # copied-video conditioning: nearest base frame per output slot
-                extra = jnp.take(z, cond_idx, axis=1)  # (B, 61, h, w, 4)
+                extra = jnp.take(z, cond_from_key, axis=1)  # (B, 61, h, w, 4)
             extra_2 = jnp.concatenate([extra, extra], axis=0).astype(dtype)
 
             x = init_noise
@@ -235,7 +246,12 @@ class VideoInterpolationPipeline:
         unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
 
         ts, pts = spaced_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
-        cond_idx = jnp.asarray(copied_video_indices(out_frames))
+        cond_idx = copied_video_indices(out_frames)
+        # key-frame-only encode in the copy-no-mask path (see _build_sampler)
+        key_slots = np.unique(cond_idx)
+        key_slots_j = jnp.asarray(key_slots)
+        cond_from_key = jnp.asarray(np.searchsorted(key_slots, cond_idx))
+        n_key = len(key_slots)
 
         @jax.jit
         def prep_fn(params, token_ids, frames, sample_rng, frame_mask=None):
@@ -244,7 +260,11 @@ class VideoInterpolationPipeline:
             ).astype(dtype)
             if use_mask:
                 frames = frames * (1.0 - frame_mask)[:, :, None, None, None]
-            x2d = frames.reshape(batch * out_frames, height, width, 3).astype(dtype)
+                enc_frames, n_enc = frames, out_frames
+            else:
+                enc_frames = jnp.take(frames, key_slots_j, axis=1)
+                n_enc = n_key
+            x2d = enc_frames.reshape(batch * n_enc, height, width, 3).astype(dtype)
             mean, logvar = vae.apply(
                 {"params": params["vae"]}, x2d, method=AutoencoderKL.encode
             )
@@ -252,7 +272,7 @@ class VideoInterpolationPipeline:
                 {"params": params["vae"]}, mean, logvar, sample_rng,
                 method=AutoencoderKL.sample_posterior,
             )
-            z = (z.astype(jnp.float32) * scaling).reshape(batch, out_frames, lat_h, lat_w, -1)
+            z = (z.astype(jnp.float32) * scaling).reshape(batch, n_enc, lat_h, lat_w, -1)
             if use_mask:
                 mask_lat = jnp.broadcast_to(
                     frame_mask[:, :, None, None, None],
@@ -260,7 +280,7 @@ class VideoInterpolationPipeline:
                 ).astype(jnp.float32)
                 extra = jnp.concatenate([mask_lat, z], axis=-1)
             else:
-                extra = jnp.take(z, cond_idx, axis=1)
+                extra = jnp.take(z, cond_from_key, axis=1)
             return text_states, jnp.concatenate([extra, extra], axis=0).astype(dtype)
 
         @jax.jit
@@ -333,7 +353,12 @@ class VideoInterpolationPipeline:
         frames = frames[idx][None]  # (1, 61, H, W, 3)
         b, _, height, width, _ = frames.shape
 
-        # text order [cond; uncond]? the base helper expects [uncond; cond]
+        # Text batch order is [uncond; cond] to match
+        # diffusion.samplers.classifier_free_guidance's split convention.
+        # The reference uses the opposite order ([prompt, negative] with
+        # cond_eps split first, interpolation/sample.py:156 +
+        # models/unet.py:470-473) — the math is identical, only the batch
+        # layout differs; the parity harness injects matching layouts.
         token_ids = jnp.asarray(
             np.concatenate(
                 [self.tokenizer([negative_prompt] * b), self.tokenizer([prompt] * b)], axis=0

@@ -72,6 +72,7 @@ class VideoSuperResolutionPipeline:
         split_cfg: bool = True,
         loop_mode: Optional[str] = None,
         window_batch: int = 1,
+        low_res_schedule: Optional[NoiseSchedule] = None,
     ):
         import os as _os
 
@@ -108,9 +109,19 @@ class VideoSuperResolutionPipeline:
             sampling.beta_start,
             sampling.beta_end,
         )
-        # low-res noise augmentation schedule (the x4-upscaler's
-        # low_res_scheduler; reference …:631-634)
-        self.low_res_schedule = self.schedule
+        # Low-res noise augmentation schedule — a SEPARATE schedule from the
+        # sampler's. The reference noises the conditioning with the pretrained
+        # pipeline's `low_res_scheduler` (reference: …3d.py:631-634), which
+        # ships with the x4-upscaler checkpoint as a scaled_linear-β DDPM —
+        # the reference only overrides the MAIN scheduler's β to linear
+        # (vsr/sample.py:50-53), never the low-res one. Defaulting to the
+        # published scaled_linear table keeps the conditioning noise level
+        # faithful at parity time; configurable for other checkpoints.
+        if low_res_schedule is None:
+            from lavie_tpu.diffusion.noise_aug import low_scale_schedule
+
+            low_res_schedule = low_scale_schedule(sampling.num_train_timesteps)
+        self.low_res_schedule = low_res_schedule
         self._compiled: Dict[Any, Any] = {}
 
     @classmethod

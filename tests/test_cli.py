@@ -55,7 +55,8 @@ class TestCLIChain:
     def test_interpolate_cli_chains_from_base(self, chain_dirs):
         from lavie_tpu.cli import interpolate
 
-        assert os.listdir(chain_dirs["base"]), "base stage must run first"
+        if not os.path.isdir(chain_dirs["base"]) or not os.listdir(chain_dirs["base"]):
+            pytest.skip("base stage output absent (run the full chain class)")
         cfg = _write_cfg(
             chain_dirs["cfg"] / "interp.yaml",
             {
@@ -78,7 +79,8 @@ class TestCLIChain:
         from lavie_tpu.cli import vsr
         from lavie_tpu.io.video import read_video
 
-        assert os.listdir(chain_dirs["interp"]), "interp stage must run first"
+        if not os.path.isdir(chain_dirs["interp"]) or not os.listdir(chain_dirs["interp"]):
+            pytest.skip("interp stage output absent (run the full chain class)")
         cfg = _write_cfg(
             chain_dirs["cfg"] / "vsr.yaml",
             {

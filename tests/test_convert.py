@@ -73,6 +73,7 @@ class TestKeyMapping:
             assert flax_path_to_torch_key(path) == expected
 
 
+@pytest.mark.slow
 class TestRoundTrip:
     def test_unet_roundtrip(self):
         cfg = UNetConfig.base_t2v().tiny()
@@ -160,6 +161,7 @@ class TestRoundTrip:
         tree_equal(params, restored)
 
 
+@pytest.mark.slow
 class TestVSRConversion:
     def test_vsr_unet_roundtrip_with_temporal_modules(self):
         """VSR UNet incl. down/mid/up temporal modules (3D conv kernels,

@@ -116,3 +116,203 @@ class TestMappingNetworkParity:
                        jnp.asarray(mem_np), jnp.asarray(tgt_np))
         )
         np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
+
+
+class TestCLIPDualEncoderParity:
+    """The real CLIPSIM scoring model vs transformers.CLIPModel: EOS-pooled
+    text + text_projection, post-LN CLS-pooled vision + visual_projection
+    (reference: base/pipelines/fine_tuning.py:860-892 scores with CLIP
+    projection embeddings)."""
+
+    def _configs(self):
+        from transformers import CLIPConfig
+
+        text_kw = dict(
+            vocab_size=99, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2,
+            max_position_embeddings=16,
+            # the highest vocab id = eot, mirroring the real CLIP vocab; HF
+            # pools at (ids == eos_token_id).argmax(), ours at ids.argmax() —
+            # identical when eot is the max id (as in the real tokenizer)
+            eos_token_id=98,
+        )
+        vision_kw = dict(
+            image_size=28, patch_size=14, hidden_size=24,
+            intermediate_size=48, num_hidden_layers=2, num_attention_heads=2,
+        )
+        hf_cfg = CLIPConfig(
+            text_config=text_kw, vision_config=vision_kw, projection_dim=20
+        )
+        from lavie_tpu.core.config import CLIPTextConfig as OurText
+        from lavie_tpu.nn.clip import CLIPVisionConfig as OurVision
+
+        ours_text = OurText(
+            vocab_size=99, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_position_embeddings=16, projection_dim=20,
+        )
+        ours_vision = OurVision(
+            image_size=28, patch_size=14, hidden_size=24, num_layers=2,
+            num_heads=2, intermediate_size=48,
+        )
+        return hf_cfg, ours_text, ours_vision
+
+    def test_embeds_match_transformers(self):
+        from transformers import CLIPModel as HFModel
+
+        hf_cfg, ours_text, ours_vision = self._configs()
+        torch.manual_seed(0)
+        hf = HFModel(hf_cfg).eval()
+
+        from lavie_tpu.io.convert import convert_clip_dual_encoder
+        from lavie_tpu.nn.clip import CLIPDualEncoder
+
+        ours = CLIPDualEncoder(text_config=ours_text, vision_config=ours_vision)
+        rng = np.random.RandomState(0)
+        # ids: eos (highest id, 98) in the middle so argmax pooling is exercised
+        ids_np = np.array([[1, 5, 7, 42, 98, 0, 0, 0, 3, 3, 3, 3, 2, 2, 2, 2]], np.int32)
+        px_np = rng.randn(2, 28, 28, 3).astype(np.float32)
+
+        init = ours.init(
+            jax.random.PRNGKey(0), jnp.asarray(ids_np), jnp.asarray(px_np)
+        )["params"]
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params = convert_clip_dual_encoder(jax.tree.map(np.asarray, init), sd)
+
+        with torch.no_grad():
+            t_ref = hf.get_text_features(
+                torch.from_numpy(ids_np.astype(np.int64))
+            ).numpy()
+            v_ref = hf.get_image_features(
+                torch.from_numpy(px_np.transpose(0, 3, 1, 2))
+            ).numpy()
+        t_got, v_got = ours.apply(
+            {"params": params}, jnp.asarray(ids_np), jnp.asarray(px_np)
+        )
+        np.testing.assert_allclose(np.asarray(t_got), t_ref, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(v_got), v_ref, atol=1e-4)
+
+    def test_scorer_cosine_matches_transformers(self):
+        from transformers import CLIPModel as HFModel
+
+        hf_cfg, ours_text, ours_vision = self._configs()
+        torch.manual_seed(1)
+        hf = HFModel(hf_cfg).eval()
+
+        from lavie_tpu.eval.clipsim import CLIPSimilarityScorer
+
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        scorer = CLIPSimilarityScorer.from_transformers_state_dict(
+            sd, text_config=ours_text, vision_config=ours_vision
+        )
+        rng = np.random.RandomState(1)
+        px_np = rng.randn(3, 28, 28, 3).astype(np.float32)
+        ids_np = np.array([[1, 5, 7, 42, 98, 0, 0, 0, 3, 3, 3, 3, 2, 2, 2, 2]], np.int32)
+
+        with torch.no_grad():
+            t = hf.get_text_features(torch.from_numpy(ids_np.astype(np.int64)))
+            v = hf.get_image_features(torch.from_numpy(px_np.transpose(0, 3, 1, 2)))
+            t = t / t.norm(dim=-1, keepdim=True)
+            v = v / v.norm(dim=-1, keepdim=True)
+            want = float((v @ t.T).mean())
+
+        got = float(scorer._score(scorer.params, jnp.asarray(ids_np), jnp.asarray(px_np)))
+        assert abs(got - want) < 1e-4, (got, want)
+
+
+class TestR3D18Parity:
+    """FVD feature extractor vs a plain-torch.nn re-creation of torchvision's
+    VideoResNet r3d_18 (reference substitutes its penultimate features for
+    I3D, base/pipelines/fine_tuning.py:791-795). torchvision itself is absent
+    from this image; the torch twin below reproduces its exact module tree
+    (and therefore its state-dict key layout) with stock torch.nn."""
+
+    @staticmethod
+    def _torch_r3d18(widths=(16, 24, 32, 40)):
+        import torch.nn as tnn
+
+        class BasicBlock(tnn.Module):
+            def __init__(self, cin, cout, stride=1):
+                super().__init__()
+                self.conv1 = tnn.Sequential(
+                    tnn.Conv3d(cin, cout, 3, stride, 1, bias=False),
+                    tnn.BatchNorm3d(cout), tnn.ReLU(inplace=True),
+                )
+                self.conv2 = tnn.Sequential(
+                    tnn.Conv3d(cout, cout, 3, 1, 1, bias=False),
+                    tnn.BatchNorm3d(cout),
+                )
+                self.relu = tnn.ReLU(inplace=True)
+                if stride != 1 or cin != cout:
+                    self.downsample = tnn.Sequential(
+                        tnn.Conv3d(cin, cout, 1, stride, bias=False),
+                        tnn.BatchNorm3d(cout),
+                    )
+                else:
+                    self.downsample = None
+
+            def forward(self, x):
+                r = x if self.downsample is None else self.downsample(x)
+                return self.relu(self.conv2(self.conv1(x)) + r)
+
+        class VideoResNet(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                w = widths
+                self.stem = tnn.Sequential(
+                    tnn.Conv3d(3, w[0], (3, 7, 7), (1, 2, 2), (1, 3, 3), bias=False),
+                    tnn.BatchNorm3d(w[0]), tnn.ReLU(inplace=True),
+                )
+                self.layer1 = tnn.Sequential(BasicBlock(w[0], w[0]), BasicBlock(w[0], w[0]))
+                self.layer2 = tnn.Sequential(BasicBlock(w[0], w[1], 2), BasicBlock(w[1], w[1]))
+                self.layer3 = tnn.Sequential(BasicBlock(w[1], w[2], 2), BasicBlock(w[2], w[2]))
+                self.layer4 = tnn.Sequential(BasicBlock(w[2], w[3], 2), BasicBlock(w[3], w[3]))
+                self.avgpool = tnn.AdaptiveAvgPool3d(1)
+
+            def forward(self, x):
+                x = self.stem(x)
+                x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+                return self.avgpool(x).flatten(1)
+
+        return VideoResNet()
+
+    def test_features_match_torch_twin(self):
+        from lavie_tpu.eval.r3d import R3D18, convert_r3d18
+
+        widths = (16, 24, 32, 40)
+        torch.manual_seed(0)
+        ref = self._torch_r3d18(widths).eval()
+        # non-trivial running stats (fresh BN stats are 0/1 — make the
+        # inference-mode normalization actually do something)
+        with torch.no_grad():
+            for m in ref.modules():
+                if isinstance(m, torch.nn.BatchNorm3d):
+                    m.running_mean.normal_(0, 0.3)
+                    m.running_var.uniform_(0.5, 2.0)
+
+        ours = R3D18(features_only=True, widths=widths)
+        rng = np.random.RandomState(0)
+        x_np = rng.randn(2, 4, 32, 32, 3).astype(np.float32)
+        init = ours.init(jax.random.PRNGKey(0), jnp.asarray(x_np))["params"]
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = convert_r3d18(init, sd)
+
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x_np.transpose(0, 4, 1, 2, 3))).numpy()
+        got = np.asarray(ours.apply({"params": params}, jnp.asarray(x_np)))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_full_size_key_layout(self):
+        """Every torchvision r3d_18 state-dict key must land in our tree at
+        the right shape (the converter errors on any mismatch)."""
+        from lavie_tpu.eval.r3d import R3D18, convert_r3d18
+
+        torch.manual_seed(1)
+        ref = self._torch_r3d18(widths=(64, 128, 256, 512)).eval()
+        ours = R3D18(features_only=True)
+        x = jnp.zeros((1, 2, 16, 16, 3))
+        init = ours.init(jax.random.PRNGKey(0), x)["params"]
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = convert_r3d18(init, sd)
+        n = sum(x.size for x in jax.tree.leaves(params))
+        # torchvision r3d_18 minus fc: 33.17M params + BN running stats
+        assert n > 33_000_000, n

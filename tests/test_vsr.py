@@ -151,3 +151,117 @@ class TestVSRWithVersatileAttention:
         params = model.init(jax.random.PRNGKey(0), x, jnp.array([10]), ctx, nl)
         out = model.apply(params, x, jnp.array([10]), ctx, nl)
         assert out.shape == (1, 2, 16, 16, 4)
+
+
+class TestLowResSchedule:
+    """The conditioning noise schedule is NOT the sampler schedule: the
+    reference noises the low-res frames with the pretrained pipeline's
+    low_res_scheduler (scaled_linear-β DDPM shipped with the x4-upscaler,
+    reference: vsr/models/pipeline_stable_diffusion_upscale_video_3d.py:631-634)
+    while only the MAIN scheduler's β is overridden to linear
+    (reference: vsr/sample.py:50-53)."""
+
+    def test_default_low_res_schedule_is_scaled_linear(self):
+        from lavie_tpu.diffusion.noise_aug import low_scale_schedule
+
+        pipe = VideoSuperResolutionPipeline.init_random(
+            jax.random.PRNGKey(0),
+            unet_config=UNetConfig.vsr().tiny(),
+            vae_config=VAEConfig.vsr().tiny(),
+            text_config=CLIPTextConfig.open_clip_h().tiny(),
+        )
+        want = low_scale_schedule(pipe.sampling.num_train_timesteps)
+        np.testing.assert_allclose(
+            np.asarray(pipe.low_res_schedule.alphas_cumprod),
+            np.asarray(want.alphas_cumprod),
+        )
+        # ...and it differs from the linear sampler schedule (the r1 bug)
+        assert not np.allclose(
+            np.asarray(pipe.low_res_schedule.alphas_cumprod),
+            np.asarray(pipe.schedule.alphas_cumprod),
+        )
+
+    def test_scaled_linear_matches_diffusers_formula(self):
+        from lavie_tpu.diffusion.noise_aug import low_scale_schedule
+
+        sched = low_scale_schedule(1000)
+        betas = np.linspace(1e-4**0.5, 2e-2**0.5, 1000, dtype=np.float64) ** 2
+        ac = np.cumprod(1.0 - betas)
+        np.testing.assert_allclose(
+            np.asarray(sched.alphas_cumprod), ac, rtol=1e-5
+        )
+
+
+class TestWarpModule:
+    def test_deform_conv_zero_offsets_equals_plain_conv(self):
+        """With zero offsets and unit mask, modulated deformable conv is a
+        plain 3×3 zero-padded conv — the core invariant of the gather-based
+        rebuild of torchvision's op (reference: temporal_module.py:605-612)."""
+        from lavie_tpu.nn.versatile_attention import deform_conv2d
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 6, 6, 5).astype(np.float32))
+        w = jnp.asarray(rng.randn(4, 5, 3, 3).astype(np.float32))
+        got = deform_conv2d(x, jnp.zeros((2, 6, 6, 18)), w, jnp.ones((2, 6, 6, 9)))
+        want = jax.lax.conv_general_dilated(
+            x, jnp.transpose(w, (2, 3, 1, 0)), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def test_deform_conv_integer_offset_is_shift(self):
+        """An integer (+1, +1) offset on every tap samples the input shifted
+        by one pixel — checks the (Δy, Δx) interleaved layout and bilinear
+        corner handling."""
+        from lavie_tpu.nn.versatile_attention import deform_conv2d
+
+        rng = np.random.RandomState(1)
+        x = np.zeros((1, 6, 6, 3), np.float32)
+        x[:, 1:, 1:] = rng.randn(1, 5, 5, 3)
+        w = jnp.asarray(rng.randn(2, 3, 3, 3).astype(np.float32))
+        off = jnp.ones((1, 6, 6, 18))
+        got = deform_conv2d(jnp.asarray(x), off, w, jnp.ones((1, 6, 6, 9)))
+        # same as plain conv of the (+1,+1)-shifted input
+        shifted = np.zeros_like(x)
+        shifted[:, :-1, :-1] = x[:, 1:, 1:]
+        want = jax.lax.conv_general_dilated(
+            jnp.asarray(shifted), jnp.transpose(w, (2, 3, 1, 0)), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # interior matches exactly; the border rows sample across the shift
+        # boundary where plain conv sees zeros
+        np.testing.assert_allclose(
+            np.asarray(got)[:, :4, :4], np.asarray(want)[:, :4, :4], atol=1e-4
+        )
+
+    @pytest.mark.parametrize("use_dcn", [True, False])
+    def test_warp_module_paths_run(self, use_dcn):
+        from lavie_tpu.nn.versatile_attention import WarpModule
+
+        m = WarpModule(in_channels=8, use_deformable_conv=use_dcn)
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(2, 16, 8).astype(np.float32))
+        off = jnp.asarray(rng.randn(2, 16, 8).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), x, off)["params"]
+        out = m.apply({"params": params}, x, off)
+        assert out.shape == x.shape
+        if use_dcn:
+            # alpha is zero-init → DCN path is an exact no-op at init
+            np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+            assert params["dcn_weight"].shape == (8, 8, 3, 3)
+
+    def test_unet_with_dcn_temporal_modules_runs(self):
+        cfg = UNetConfig.vsr().tiny(
+            norm_num_groups=8,
+            temporal_module_attention_types=("Temporal", "CrossFrame"),
+            temporal_module_use_dcn_warpping=True,
+            temporal_module_use_deformable_conv=True,
+        )
+        model = UNet3D(config=cfg)
+        x = jnp.zeros((1, 2, 16, 16, 7))
+        ctx = jnp.zeros((1, 7, cfg.cross_attention_dim))
+        t = jnp.array([1])
+        cl = jnp.array([5])
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx, cl)["params"]
+        out = model.apply({"params": params}, x, t, ctx, cl)
+        assert out.shape == (1, 2, 16, 16, 4)

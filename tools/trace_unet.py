@@ -60,11 +60,16 @@ def build(stage: str, dtype=jnp.bfloat16):
     model = UNet3D(config=cfg, dtype=dtype)
     t = jnp.full((sample.shape[0],), 500, jnp.int32)
 
+    # init at a TINY spatial size: params are spatial-shape-independent, and
+    # the full-shape init program is what the axon remote compiler chokes on
+    # (the r2 VSR model sat >35 min in init at 320x512)
+    small = jnp.zeros(sample.shape[:2] + (32, 32, sample.shape[-1]), sample.dtype)
+
     def init_fn(rng):
         kwargs = {}
         if class_labels is not None:
             kwargs["class_labels"] = class_labels
-        return model.init(rng, sample, t, ctx, **kwargs)
+        return model.init(rng, small, t, ctx, **kwargs)
 
     print("init...", file=sys.stderr, flush=True)
     params = jax.jit(init_fn)(jax.random.PRNGKey(0))
