@@ -118,6 +118,10 @@ def torch_tensor_to_flax(value: np.ndarray, flax_shape: Tuple[int, ...], leaf: s
                 v = v.transpose(2, 3, 1, 0)
         elif v.ndim == 5:  # Conv3d (O,I,kf,kh,kw) → (kf,kh,kw,I,O)
             v = v.transpose(2, 3, 4, 1, 0)
+            if len(flax_shape) == 4 and v.shape[1] == v.shape[2] == 1:
+                # (kf,1,1,I,O) temporal conv stored as a (kf,1) 2D conv on
+                # flattened spatial tokens (layers.TemporalConv 4D form)
+                v = v[:, 0]
     # widen input channels (interpolation conv_in 4→8/9): zero-fill the extra
     if leaf == "kernel" and v.ndim == len(flax_shape) and v.shape != tuple(flax_shape):
         if (

@@ -365,8 +365,13 @@ class Transformer3D(nn.Module):
             # VSR: a (3,1,1) 3D-CNN resnet runs BEFORE the transformer and
             # INSIDE its residual — output = transformer(x') + x' with
             # x' = resblock_temporal(x) (reference:
-            # vsr/models/attention.py:350, :396-399, :436 residual placement)
-            hidden_states = self.temporal_resblock(hidden_states, None)
+            # vsr/models/attention.py:350, :396-399, :436 residual placement).
+            # Run it on (B, F, H·W, C): the 1×1-spatial taps make the flat
+            # form identical, and it avoids the degenerate conv layout XLA
+            # picks between token-shaped neighbors (see layers.TemporalConv).
+            hidden_states = self.temporal_resblock(
+                hidden_states.reshape(b, f, h * w, c), None
+            ).reshape(b, f, h, w, c)
         residual = hidden_states
         x, _ = fold_frames(hidden_states)  # (B·F, H, W, C)
         x = self.norm(x)

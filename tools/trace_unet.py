@@ -106,6 +106,7 @@ def collect_trace(tracedir: str):
             pid_names[e["pid"]] = e["args"].get("name", "")
     dev_pids = {p for p, n in pid_names.items() if re.search(r"TPU|/device|XLA Op", n, re.I)}
     agg = defaultdict(lambda: [0.0, 0])
+    meta = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
@@ -118,7 +119,12 @@ def collect_trace(tracedir: str):
         agg[name][0] += dur
         agg[name][1] += 1
         total += dur
-    return agg, total, pid_names
+        if name not in meta:
+            a = e.get("args", {}) or {}
+            # xprof puts the HLO op's source/framework attribution here
+            tag = a.get("long_name") or a.get("tf_op") or a.get("source") or ""
+            meta[name] = str(tag)[:160]
+    return agg, total, pid_names, meta
 
 
 def main():
@@ -151,7 +157,7 @@ def main():
             out = fn(*fargs)
         jax.block_until_ready(out)
 
-    agg, total, pid_names = collect_trace(tracedir)
+    agg, total, pid_names, meta = collect_trace(tracedir)
     print(f"device total: {total/args.reps:.1f} ms/fwd over {len(agg)} distinct ops")
     rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
     if args.group:
@@ -162,6 +168,11 @@ def main():
             g[key][1] += cnt
         rows = sorted(g.items(), key=lambda kv: -kv[1][0])
     print(f"{'ms/fwd':>9}  {'%':>5}  {'count':>6}  op")
+    if not args.group:
+        for name, (dur, cnt) in rows[: args.top]:
+            tag = meta.get(name, "")
+            print(f"{dur/args.reps:9.2f}  {dur/total*100:5.1f}  {cnt:6d}  {name}  {tag}")
+        return
     for name, (dur, cnt) in rows[: args.top]:
         print(f"{dur/args.reps:9.2f}  {dur/total*100:5.1f}  {cnt:6d}  {name[:140]}")
 
