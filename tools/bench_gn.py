@@ -49,9 +49,10 @@ def main():
         ("GN 8x160x256x512 g32", (8, 160, 256, 512), 32),
         ("GN 8x320x512x256 g32", (8, 320, 512, 256), 32),
     ]
-    rng = np.random.RandomState(0)
     for tag, shape, g in shapes:
-        x = jnp.asarray(rng.randn(*shape).astype(np.float32), jnp.bfloat16)
+        # generate ON DEVICE: a 2.7 GB host array through the axon tunnel
+        # stalls for minutes
+        x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.bfloat16)
         gn = GroupNorm(num_groups=g)
         params = gn.init(jax.random.PRNGKey(0), x)["params"]
         nbytes = x.size * 2 * 2  # read + write per pass (stats pass extra read)
