@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from lavie_tpu.core.config import CLIPTextConfig
-from lavie_tpu.data.transforms import resize_bilinear
 from lavie_tpu.io.tokenizer import CLIPTokenizer
 from lavie_tpu.nn.clip import CLIPDualEncoder, CLIPVisionConfig
 
@@ -30,10 +29,24 @@ CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 def clip_preprocess(frames: np.ndarray, image_size: int = 224) -> np.ndarray:
-    """uint8 (F,H,W,3) → CLIP-normalized (F,image_size,image_size,3)."""
-    frames = resize_bilinear(frames.astype(np.float32), (image_size, image_size))
-    frames = frames / 255.0
-    return (frames - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+    """uint8 (F,H,W,3) → CLIP-normalized (F,image_size,image_size,3).
+
+    Matches the `clip` package preprocessing the reference scores with
+    (reference: base/pipelines/fine_tuning.py:718 `clip.load` preprocess,
+    evaluation.py:76): BICUBIC resize of the SHORTER side to image_size,
+    center crop, /255, CLIP mean/std."""
+    import jax
+
+    f, h, w, _ = frames.shape
+    scale = image_size / min(h, w)
+    nh, nw = max(image_size, int(round(h * scale))), max(image_size, int(round(w * scale)))
+    x = jax.image.resize(
+        jnp.asarray(frames, jnp.float32), (f, nh, nw, 3), method="cubic"
+    )
+    y0, x0 = (nh - image_size) // 2, (nw - image_size) // 2
+    x = x[:, y0 : y0 + image_size, x0 : x0 + image_size]
+    x = np.asarray(x) / 255.0
+    return (x - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
 
 
 class CLIPSimilarityScorer:

@@ -30,6 +30,7 @@ module so its relative imports resolve.
 from __future__ import annotations
 
 import importlib
+import importlib.machinery
 import math
 import sys
 import types
@@ -264,6 +265,11 @@ def install() -> None:
     # ------------------------------------------------------------------
     def mod(name, **attrs):
         m = types.ModuleType(name)
+        # a real ModuleSpec: modules registered with __spec__=None make
+        # importlib.util.find_spec(name) RAISE ValueError — transformers
+        # probes find_spec("torchvision") at import, so the bare stub broke
+        # any test importing transformers after this shim installed
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         for k, v in attrs.items():
             setattr(m, k, v)
         sys.modules[name] = m

@@ -124,3 +124,30 @@ class TestCLIPSIM:
         out = clip_preprocess(v, 28)
         assert out.shape == (2, 28, 28, 3)
         assert np.abs(out).max() < 3.0
+
+    def test_preprocess_matches_pil_bicubic(self):
+        """clip_preprocess must match the `clip` package transform the
+        reference scores with (base/pipelines/fine_tuning.py:718): PIL
+        BICUBIC shorter-side resize → center crop → /255 → mean/std."""
+        PIL = pytest.importorskip("PIL.Image")
+        from lavie_tpu.eval.clipsim import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+        size = 32
+        v = (np.random.RandomState(1).rand(2, 48, 80, 3) * 255).astype(np.uint8)
+        ours = clip_preprocess(v, size)
+
+        h, w = 48, 80
+        scale = size / min(h, w)
+        nh, nw = max(size, round(h * scale)), max(size, round(w * scale))
+        ref = []
+        for f in v:
+            img = PIL.fromarray(f).resize((nw, nh), PIL.BICUBIC)
+            arr = np.asarray(img, np.float32)
+            y0, x0 = (nh - size) // 2, (nw - size) // 2
+            arr = arr[y0 : y0 + size, x0 : x0 + size] / 255.0
+            ref.append((arr - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD)
+        ref = np.stack(ref)
+        # jax.image cubic vs PIL bicubic differ in antialias filter detail;
+        # agreement to a few least-significant uint8 counts is parity here
+        assert np.abs(ours - ref).max() < 0.15
+        assert np.abs(ours - ref).mean() < 0.02
