@@ -124,6 +124,93 @@ def _kernel(
             o_ref[h * d : (h + 1) * d, 0, i, :] = acc.astype(o_ref.dtype)
 
 
+def _kernel_v4(
+    q_ref,  # (Cg, 1, F, S_blk) — one head group (contiguous heads)
+    k_ref,
+    v_ref,
+    bias_ref,  # (1, F·Hg·F, 128) fp32: rows (i·Hg+h)·F + j
+    qcs_ref,  # (Cg, 2·F) fp32: [:, :F] = cos, [:, F:] = sin
+    kcs_ref,
+    o_ref,  # (Cg, 1, F, S_blk)
+    *,
+    frames: int,
+    heads: int,  # heads in this group (Hg)
+    head_dim: int,
+    rope_dim: int,
+    scale: float,
+):
+    """v4: same math as _kernel, but every step works on the refs' NATURAL
+    (d, F, S) sub-layout — rope/convert staging is one op over the whole
+    head slice, each query frame's scores come from ONE (d,F,S) multiply +
+    a log₂d leading-dim halving tree (all key frames at once), and probs·V
+    is one broadcast multiply + a log₂f within-tile tree. The v2 kernel
+    issues ~f²·(d/8) separate (rows, S) VPU ops per (i, h); v4 issues
+    ~4·d/8·log f — fewer, full-width ops.
+
+    A v3 that stacked per-frame (d, S) slices into (f, d, S) arrays measured
+    SLOWER than v2 (31.5 vs 20.0 ms at VSR L1): each jnp.stack of f strided
+    tile rows is a Mosaic relayout pass that outweighs the op-count savings.
+    v4 never reorders — (d, F, S) is exactly how the data already sits in
+    the (Cg, 1, F, S) block."""
+    f, hg, d = frames, heads, head_dim
+    r, r2 = rope_dim, rope_dim // 2
+
+    def rope_all(ref, h, cs_ref):
+        # whole-head staging: rope in the input dtype (parity with the XLA
+        # path), then ONE convert to fp32
+        x = ref[h * d : (h + 1) * d, 0]  # (d, F, S) — contiguous slice
+        if r2 == 0:
+            return x.astype(jnp.float32)
+        # minor-dim insertion must happen on the fp32 table (Mosaic: "minor
+        # dim insertion only supported for 32-bit types"), THEN cast to the
+        # input dtype so rope math matches the XLA path / v2 kernel
+        cos = cs_ref[h * d : (h + 1) * d, :f][:, :, None].astype(x.dtype)
+        sin = cs_ref[h * d : (h + 1) * d, f : 2 * f][:, :, None].astype(x.dtype)
+        parts = [-x[r2:r], x[:r2]]
+        if d > r:
+            parts.append(x[r:])
+        rot = jnp.concatenate(parts, axis=0)  # (d, F, S)
+        return (x * cos + rot * sin).astype(jnp.float32)
+
+    for h in range(hg):
+        qs = rope_all(q_ref, h, qcs_ref)  # (d, F, S) fp32
+        ks = rope_all(k_ref, h, kcs_ref)
+        vs = v_ref[h * d : (h + 1) * d, 0].astype(jnp.float32)
+        for i in range(f):
+            prod = ks * qs[:, i : i + 1, :]  # (d, F, S) — all key frames
+            # d-reduction: halving tree on the leading dim (d power of 2 is
+            # guaranteed by the v4 gate; a jnp.sum here crashes Mosaic)
+            t = prod
+            n = d
+            while n > 1:
+                half = n // 2
+                t = t[:half] + t[half:n]
+                n = half
+            base = (i * hg + h) * f
+            scores = t[0] * scale + bias_ref[0, base : base + f, 0:1]  # (F, S)
+            # softmax over the F sublane dim (f power of 2 per the gate)
+            m = scores
+            n = f
+            while n > 1:
+                half = n // 2
+                m = jnp.maximum(m[:half], m[half:n])
+                n = half
+            e = jnp.exp(scores - m)
+            den = e
+            n = f
+            while n > 1:
+                half = n // 2
+                den = den[:half] + den[half:n]
+                n = half
+            pv = vs * (e * (1.0 / den))[None]  # (d, F, S)
+            n = f
+            while n > 1:
+                half = n // 2
+                pv = pv[:, :half] + pv[:, half:n]
+                n = half
+            o_ref[h * d : (h + 1) * d, 0, i, :] = pv[:, 0].astype(o_ref.dtype)
+
+
 def pick_layout(c: int, frames: int, s: int, heads: int):
     """Choose (lane block, heads per group). Lane blocks must be ≥128; wide
     channel counts split the head axis over a third grid dim instead of
@@ -216,19 +303,20 @@ def rope_tables_cmajor(
 @functools.partial(
     jax.jit,
     static_argnames=("frames", "heads", "head_dim", "rope_dim", "scale",
-                     "blk", "hg", "interpret"),
+                     "blk", "hg", "version", "interpret"),
 )
 def _temporal_cmajor(q, k, v, bias_rows, cs, *, frames, heads, head_dim,
-                     rope_dim, scale, blk, hg, interpret=False):
+                     rope_dim, scale, blk, hg, version=2, interpret=False):
     c, b, f, s = q.shape
     cg = hg * head_dim
     groups = heads // hg
     grid = (b, s // blk, groups)
     n_g = bias_rows.shape[1]
     qkv_spec = pl.BlockSpec((cg, 1, f, blk), lambda b, i, g: (g, b, 0, i))
+    body = _kernel_v4 if version == 4 else _kernel
     return pl.pallas_call(
         functools.partial(
-            _kernel, frames=frames, heads=hg, head_dim=head_dim,
+            body, frames=frames, heads=hg, head_dim=head_dim,
             rope_dim=rope_dim, scale=scale,
         ),
         grid=grid,
@@ -267,8 +355,20 @@ def temporal_attention_cmajor(
     d = c // heads
     if bias is None:
         bias = jnp.zeros((heads, f, f), jnp.float32)
+    import os
+
     blk, hg = pick_layout(c, f, s, heads)
     assert blk > 0 and hg > 0, (c, f, s, heads)
+    # v4 ((d,F,S)-shaped ops, ~4× fewer VPU issues) needs power-of-2 frame
+    # AND head-dim counts for its halving trees; LAVIE_TF_V4=0 pins the v2
+    # kernel for A/B
+    version = (
+        4
+        if (f & (f - 1)) == 0
+        and (d & (d - 1)) == 0
+        and os.environ.get("LAVIE_TF_V4", "1") == "1"
+        else 2
+    )
     groups = heads // hg
     # (H, F, F) → (G, (i·Hg + h_local)·F + j, lanes) — per (i, h) the f
     # j-rows are contiguous so the kernel slices one (f, S) bias block
@@ -278,5 +378,5 @@ def temporal_attention_cmajor(
     return _temporal_cmajor(
         q, k, v, bias_rows, cs,
         frames=f, heads=heads, head_dim=d, rope_dim=rope_dim, scale=scale,
-        blk=blk, hg=hg, interpret=interpret,
+        blk=blk, hg=hg, version=version, interpret=interpret,
     )
