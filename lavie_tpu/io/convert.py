@@ -337,7 +337,17 @@ def export_state_dict(params: Mapping[str, Any], prefix: str = "") -> Dict[str, 
     out = {}
     for keypath, v in flat:
         path = tuple(p.key if hasattr(p, "key") else str(p) for p in keypath)
-        out[prefix + flax_path_to_torch_key(path)] = flax_tensor_to_torch(
-            np.asarray(v), path[-1]
-        )
+        key = prefix + flax_path_to_torch_key(path)
+        t = flax_tensor_to_torch(np.asarray(v), path[-1])
+        # temporal (k,1,1) convs are stored in the (k,1) GEMM-shift layout
+        # (layers.TemporalConv 4D form) but the reference modules are
+        # Conv3d — re-expand the unit spatial tap on export
+        if (
+            t.ndim == 4
+            and t.shape[-1] == 1
+            and key.endswith(".weight")
+            and ("resblocks_3d_t." in key or "resblock_temporal." in key)
+        ):
+            t = t[..., None]  # (O,I,k,1) → (O,I,k,1,1)
+        out[key] = t
     return out

@@ -154,7 +154,26 @@ class _TemporalConvGemm(nn.Module):
             self.param_dtype,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
-        # (k,1,C,O) → (C, k·O): one MXU-friendly wide GEMM
+        if x.ndim == 5:
+            # true 3D conv route for (B, F, H, W, C) — same params, kernel
+            # re-expanded to (k,1,1,C,O). Kept so the activation-size gate in
+            # TemporalModule3D can pick conv vs GEMM per call WITHOUT the
+            # param tree depending on activation shapes (init may use tiny
+            # spatial sizes).
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel[:, :, None].astype(self.dtype),
+                window_strides=(1, 1, 1),
+                padding=((k // 2, k // 2), (0, 0), (0, 0)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            return y + bias.astype(y.dtype)
+        # (k,1,C,O) → (C, k·O): one MXU-friendly wide GEMM. NOTE the k×-sized
+        # intermediate: callers must not route huge activations here (the
+        # VSR L0 level at k=5 would transiently need 6.7 GB — measured HBM
+        # OOM; a per-tap GEMM variant avoided that but ran bandwidth-bound
+        # at 660 GB/s, 2× slower than the true conv). TemporalModule3D gates
+        # on the intermediate size (nn/temporal_module.py).
         wcat = jnp.transpose(kernel[:, 0], (1, 0, 2)).reshape(cin, k * self.features)
         y = x @ wcat.astype(x.dtype)  # (B, F, S, k·O)
         pad = k // 2
@@ -192,27 +211,19 @@ class TemporalConv(nn.Module):
         # token-shaped transformer ops the 2D form lets XLA keep one layout:
         # measured in the full VSR UNet the 5D form got a degenerate
         # T(2,128) layout at 27 TF/s (19.2 ms/L1-call) vs 6.2 ms standalone.
-        pad = ((self.kernel_frames // 2,) * 2,)
-        if x.ndim == 4:
-            # GEMM-shift form: one (C → k·O) GEMM, then shifted adds of the
-            # per-tap products — out[f] = Σ_j y_j[f + j - pad]. Matmul
-            # layouts are robust where XLA's conv layout assignment is not:
-            # in the full VSR UNet the conv form (5D or (k,1)-2D alike) gets
-            # a degenerate T(2,128) layout and runs at 27 TF/s (19.2 ms at
-            # L1) vs 6 ms standalone; the GEMM form holds its standalone
-            # speed in context. Param tree matches nn.Conv's 2D (k,1,C,O)
-            # so checkpoint conversion is unchanged.
-            return _TemporalConvGemm(
-                features=self.features, kernel_frames=self.kernel_frames,
-                dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
-            )(x)
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel_frames, 1, 1),
-            padding=pad + ((0, 0), (0, 0)),
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="conv",
+        # One module, one param layout (k,1,C,O), two routes by input rank:
+        #   (B, F, S, C)   → GEMM-shift: one (C → k·O) GEMM + shifted adds.
+        #     Matmul layouts are robust where XLA's conv layout assignment is
+        #     not: in the full VSR UNet the conv form (5D or (k,1)-2D alike)
+        #     gets a degenerate T(2,128) layout and runs at 22-27 TF/s
+        #     (19.2 ms at L1) vs ~180 TF/s for the GEMM form.
+        #   (B, F, H, W, C) → true (k,1,1) lax conv — streams, no k×-wide
+        #     intermediate; right for the large L0 levels.
+        # Callers choose by reshaping; the param tree never depends on the
+        # activation shape.
+        return _TemporalConvGemm(
+            features=self.features, kernel_frames=self.kernel_frames,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
         )(x)
 
 

@@ -111,7 +111,9 @@ class ResnetBlock3DCNN(nn.Module):
         h = TemporalConv(out_ch, self.kernel_frames, name="conv1", **common)(h)
         if temb is not None and self.temb_channels is not None:
             t = nn.Dense(out_ch, name="time_emb_proj", **common)(nn.silu(temb))
-            h = h + t[:, None, None, None, :]
+            # broadcast over the frame+spatial axes of either the 5D
+            # (B,F,H,W,C) or flattened 4D (B,F,S,C) activation form
+            h = h + t.reshape(t.shape[0], *([1] * (h.ndim - 2)), out_ch)
         h = GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = TemporalConv(out_ch, 3, name="conv2", **common)(h)

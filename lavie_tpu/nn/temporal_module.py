@@ -48,15 +48,33 @@ class TemporalModule3D(nn.Module):
         timesteps: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        h = ResnetBlock3DCNN(
+        # The temporal 3D-CNN resnet can run on the flattened (B, F, H·W, C)
+        # form — the (k,1,1) taps are spatially 1×1 — which routes
+        # TemporalConv to the layout-robust GEMM-shift: XLA's conv layout
+        # assignment gives the 5D form a degenerate T(2,128) layout when a
+        # neighbor is a Pallas custom call (measured 22 TF/s at the VSR L1
+        # level vs ~175 for the GEMM form). But the GEMM form materializes a
+        # k×-wide intermediate, so gate it to levels where that fits
+        # comfortably (≤ ~2 GB; the VSR L0 level would need 6.7 GB —
+        # measured HBM OOM).
+        b_, f_, hh_, ww_, c_ = x.shape
+        k_taps = 5
+        gemm_bytes = b_ * f_ * hh_ * ww_ * k_taps * c_ * 2
+        flatten = gemm_bytes <= 2 * 1024**3
+        resblock_t = ResnetBlock3DCNN(
             in_channels=self.channels,
             out_channels=self.channels,
-            kernel_frames=5,
+            kernel_frames=k_taps,
             temb_channels=self.temb_channels,
             groups=self.norm_num_groups,
             name="resblocks_3d_t",
             **common,
-        )(x, temb)
+        )
+        if flatten:
+            h = resblock_t(x.reshape(b_, f_, hh_ * ww_, c_), temb)
+            h = h.reshape(b_, f_, hh_, ww_, c_)
+        else:
+            h = resblock_t(x, temb)
         h = ResnetBlock3D(
             in_channels=self.channels,
             out_channels=self.channels,

@@ -240,40 +240,136 @@ class BasicTransformerBlock(nn.Module):
         # excluded from temporal attention (reference:
         # base/models/attention.py:537-547 training branch).
         if self.attn_temp is not None:
-            bf, s, c = hidden_states.shape
-            b = bf // video_length
-            if (
-                image_frames == 0
-                and not self.is_initializing()
-                and self.attn_temp.channel_major_supported(video_length, s)
-            ):
-                # channel-major fused kernel: projections emit (C, B, F, S)
-                # directly (transposes folded into the GEMMs), the kernel does
-                # rope+bias+softmax in VMEM (kernels/temporal_fused.py)
-                x4 = hidden_states.reshape(b, video_length, s, c)
-                x4 = self.attn_temp.channel_major(self.norm_temp(x4)) + x4
-                hidden_states = x4.reshape(bf, s, c)
-            elif image_frames == 0 and self.attn_temp.folded_supported(video_length, s):
-                # fused kernel path: stays in (B, F, S, C), no transposes
-                x4 = hidden_states.reshape(b, video_length, s, c)
-                x4 = self.attn_temp.folded(self.norm_temp(x4)) + x4
-                hidden_states = x4.reshape(bf, s, c)
-            else:
-                x = hidden_states.reshape(b, video_length, s, c)
-                x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * s, video_length, c)
-                if image_frames > 0:
-                    vid = x[:, : video_length - image_frames]
-                    img = x[:, video_length - image_frames:]
-                    vid = self.attn_temp(self.norm_temp(vid)) + vid
-                    x = jnp.concatenate([vid, img], axis=1)
-                else:
-                    x = self.attn_temp(self.norm_temp(x)) + x
-                x = x.reshape(b, s, video_length, c)
-                hidden_states = jnp.transpose(x, (0, 2, 1, 3)).reshape(bf, s, c)
+            hidden_states = self._apply_temporal(
+                hidden_states, video_length, image_frames
+            )
 
         if not self.ff_before_temporal:
             hidden_states = self.ff(self.norm3(hidden_states)) + hidden_states
         return hidden_states
+
+    def _apply_temporal(
+        self, hidden_states: jnp.ndarray, video_length: int, image_frames: int
+    ) -> jnp.ndarray:
+        bf, s, c = hidden_states.shape
+        b = bf // video_length
+        if (
+            image_frames == 0
+            and not self.is_initializing()
+            and self.attn_temp.channel_major_supported(video_length, s)
+        ):
+            # channel-major fused kernel: projections emit (C, B, F, S)
+            # directly (transposes folded into the GEMMs), the kernel does
+            # rope+bias+softmax in VMEM (kernels/temporal_fused.py)
+            x4 = hidden_states.reshape(b, video_length, s, c)
+            x4 = self.attn_temp.channel_major(self.norm_temp(x4)) + x4
+            return x4.reshape(bf, s, c)
+        if image_frames == 0 and self.attn_temp.folded_supported(video_length, s):
+            # fused kernel path: stays in (B, F, S, C), no transposes
+            x4 = hidden_states.reshape(b, video_length, s, c)
+            x4 = self.attn_temp.folded(self.norm_temp(x4)) + x4
+            return x4.reshape(bf, s, c)
+        x = hidden_states.reshape(b, video_length, s, c)
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * s, video_length, c)
+        if image_frames > 0:
+            vid = x[:, : video_length - image_frames]
+            img = x[:, video_length - image_frames:]
+            vid = self.attn_temp(self.norm_temp(vid)) + vid
+            x = jnp.concatenate([vid, img], axis=1)
+        else:
+            x = self.attn_temp(self.norm_temp(x)) + x
+        x = x.reshape(b, s, video_length, c)
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(bf, s, c)
+
+    def fused_only_cross_supported(self, n_tokens: int, kv_len: int) -> bool:
+        """Gate for the fused only-cross path (kernels/cross_block.py):
+        head kernel [proj_in → LN1+attn1 → LN2+attn2] and tail kernel
+        [LN3 → GEGLU ff → proj_out → +residual]. Disable with
+        LAVIE_CROSS_BLOCK=0."""
+        import os
+
+        mode = os.environ.get("LAVIE_CROSS_BLOCK", "1")
+        if mode not in ("1", "force"):  # "force" = interpret mode off-TPU (tests)
+            return False
+        if os.environ.get("LAVIE_DISABLE_FLASH") == "1":
+            return False
+        if not (
+            self.only_cross_attention
+            and self.attn2 is not None
+            and not self.ff_before_temporal
+        ):
+            return False
+        from lavie_tpu.kernels.attention import _on_tpu
+        from lavie_tpu.kernels.cross_block import (
+            cross_block_supported,
+            tail_supported,
+        )
+
+        return (
+            (_on_tpu() or mode == "force")
+            and cross_block_supported(
+                n_tokens, self.dim, self.heads, self.head_dim, kv_len
+            )
+            and tail_supported(n_tokens, self.dim, self.dim * 4)
+        )
+
+    def fused_only_cross(
+        self,
+        hidden_states: jnp.ndarray,  # (B·F, S, C) GroupNorm'd, pre-proj_in
+        encoder_hidden_states: jnp.ndarray,  # (B·F, L, D)
+        video_length: int,
+        wpi: jnp.ndarray, bpi: jnp.ndarray,  # Transformer3D proj_in
+        wpo: jnp.ndarray, bpo: jnp.ndarray,  # Transformer3D proj_out
+        residual: jnp.ndarray,  # (B·F, S, C) transformer outer residual
+    ) -> jnp.ndarray:
+        """The VSR only-cross block as two fused Pallas passes around the
+        temporal attention (which needs the frame axis and forces the kernel
+        boundary). Numerics match the unfused path to bf16 tolerance; the
+        interpret-mode tests (tests/test_cross_block.py) pin fp32 exactness."""
+        import os
+
+        from lavie_tpu.kernels.attention import _on_tpu
+        from lavie_tpu.kernels.cross_block import (
+            cross_attention_head,
+            transformer_tail,
+        )
+
+        interpret = (
+            not _on_tpu() and os.environ.get("LAVIE_CROSS_BLOCK") == "force"
+        )
+
+        def attn_params(attn, norm):
+            p = lambda m, k: m.variables["params"][k]["kernel"].astype(self.dtype)
+            nrm = norm.variables["params"]["norm"]
+            kw = p(attn, "to_k")
+            vw = p(attn, "to_v")
+            k = encoder_hidden_states @ kw
+            v = encoder_hidden_states @ vw
+            return (
+                nrm["scale"], nrm["bias"],
+                p(attn, "to_q"),
+                p(attn, "to_out_0"),
+                attn.to_out_0.variables["params"]["bias"],
+                k, v,
+            )
+
+        x = cross_attention_head(
+            hidden_states, wpi, bpi,
+            attn_params(self.attn1, self.norm1),
+            attn_params(self.attn2, self.norm2),
+            heads=self.heads, scale=self.head_dim ** -0.5,
+            interpret=interpret,
+        )
+        if self.attn_temp is not None:
+            x = self._apply_temporal(x, video_length, 0)
+        ln3 = self.norm3.variables["params"]["norm"]
+        return transformer_tail(
+            x, residual, ln3["scale"], ln3["bias"],
+            self.ff.net_0_proj.kernel.astype(self.dtype), self.ff.net_0_proj.bias,
+            self.ff.net_2.kernel.astype(self.dtype), self.ff.net_2.bias,
+            wpo, bpo,
+            interpret=interpret,
+        )
 
 
 class Transformer3D(nn.Module):
@@ -377,7 +473,6 @@ class Transformer3D(nn.Module):
         x = self.norm(x)
         # tokens
         x = x.reshape(b * f, h * w, c)
-        x = self.proj_in(x)
 
         ehs = None
         if encoder_hidden_states is not None:
@@ -391,6 +486,29 @@ class Transformer3D(nn.Module):
                 # repeat text states per frame: (B, L, D) → (B·F, L, D)
                 ehs = jnp.repeat(encoder_hidden_states, f, axis=0)
 
+        # VSR only-cross fast path: one transformer layer fused into two
+        # Pallas passes (head: proj_in+attn1+attn2, tail: ff+proj_out) around
+        # the temporal attention (kernels/cross_block.py)
+        if (
+            self.num_layers == 1
+            and image_frames == 0
+            and ehs is not None
+            and not self.is_initializing()
+            and self.transformer_blocks[0].fused_only_cross_supported(
+                h * w, ehs.shape[1]
+            )
+        ):
+            pin = self.proj_in.variables["params"]
+            pout = self.proj_out.variables["params"]
+            x = self.transformer_blocks[0].fused_only_cross(
+                x, ehs, f,
+                pin["kernel"].astype(self.dtype), pin["bias"],
+                pout["kernel"].astype(self.dtype), pout["bias"],
+                residual.reshape(b * f, h * w, c),
+            )
+            return x.reshape(b, f, h, w, c)
+
+        x = self.proj_in(x)
         for block in self.transformer_blocks:
             x = block(x, ehs, video_length=f, image_frames=image_frames)
 
