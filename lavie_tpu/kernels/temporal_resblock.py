@@ -1,0 +1,163 @@
+"""Pallas fused GN-apply → SiLU → k-tap temporal conv for ResnetBlock3DCNN.
+
+The VSR TemporalModule3D's temporal resnet (reference:
+vsr/models/resnet.py:220-316 — GN→SiLU→Conv3d(k,1,1)→(+temb)→GN→SiLU→
+Conv3d(3,1,1)→+residual) is the UNet's only true 3D conv. Both XLA forms
+measured poorly in context:
+
+  - the 5D (k,1,1) `lax.conv` gets a frame-minor T(8,128) layout that
+    forces ~1-6 ms layout copies at every module boundary and leaves the
+    shift-conv residual add unfused (~10 ms pure-bandwidth at the L0 level);
+  - the (C → k·O) GEMM-shift form keeps standard layouts but writes a
+    k×-wide intermediate and re-reads it k times for the shifted adds —
+    measured 47-103 TF/s at 580-670 GB/s (bandwidth-bound), and at the L0
+    level the 6.7 GB intermediate OOMs HBM outright.
+
+This kernel does the whole normalize→silu→conv chain per token block in
+VMEM: grid (B, S/blk), block (1, F, blk, C) with F small (the VSR window is
+8 frames). Each frame's normalized+silu'd activation is computed once, then
+the k-tap conv is F·k (blk,C)×(C,O) MXU GEMMs accumulated in fp32 — no
+wide intermediate, no shifted-add passes, standard row-major layouts at the
+boundary. GroupNorm *statistics* stay outside as XLA per-channel reductions
+(they need global (F,S) reductions — measured 0.64 ms each, near floor) and
+are folded with gamma/beta into a per-(batch,channel) affine (w, u); the
+time-embedding projection folds into the first conv's output bias and the
+block residual into the second conv's accumulator.
+
+HBM traffic per conv pass: read x + write y (+ read residual) — vs the
+unfused chain's separate GN-apply, silu, conv, add passes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _pick_block(s: int, frames: int, cin: int, cout: int, ktaps: int,
+                with_res: bool) -> int:
+    """Largest power-of-2 token block (≥128) whose VMEM footprint fits:
+    x + silu'd copy + out (+ residual) blocks, the (k,C,O) weights, and the
+    fp32 accumulator."""
+    blk = 512
+    while blk >= 128:
+        if s % blk == 0:
+            est = (
+                frames * blk * cin * 2 * 2          # x block + normalized copy
+                + frames * blk * cout * 2            # out block
+                + (frames * blk * cout * 2 if with_res else 0)
+                + ktaps * cin * cout * 2             # conv weights
+                + blk * cout * 4                     # fp32 accumulator
+            )
+            if est <= _VMEM_BUDGET:
+                return blk
+        blk //= 2
+    return 0
+
+
+def resblock_conv_supported(frames: int, s: int, cin: int, cout: int,
+                            ktaps: int, with_res: bool = False) -> bool:
+    """Lane-aligned channels, modest frame count, and a fitting block."""
+    return (
+        cin % 128 == 0
+        and cout % 128 == 0
+        and 2 <= frames <= 32
+        and _pick_block(s, frames, cin, cout, ktaps, with_res) >= 128
+    )
+
+
+def _silu(x):
+    return x * (1.0 / (1.0 + jnp.exp(-x)))
+
+
+def _kernel(x_ref, wa_ref, ua_ref, wc_ref, bo_ref, *rest, frames, ktaps,
+            with_res):
+    if with_res:
+        res_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    x = x_ref[0]  # (F, blk, C)
+    wa = wa_ref[0].astype(x.dtype)  # (1, C) per-batch GN affine scale
+    ua = ua_ref[0].astype(x.dtype)  # (1, C) per-batch GN affine shift
+    pad = ktaps // 2
+    f32 = jnp.float32
+    # normalize + silu each frame once (silu in fp32 — one VPU pass)
+    xn = [
+        _silu((x[u] * wa + ua).astype(f32)).astype(x.dtype)
+        for u in range(frames)
+    ]
+    bo = bo_ref[0]  # (1, O) fp32: conv bias (+ folded temb)
+    for f in range(frames):
+        acc = jnp.broadcast_to(bo, (x.shape[1], bo.shape[-1])).astype(f32)
+        for j in range(ktaps):
+            u = f + j - pad
+            if 0 <= u < frames:
+                acc = acc + jax.lax.dot_general(
+                    xn[u], wc_ref[j],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+        if with_res:
+            acc = acc + res_ref[0, f].astype(f32)
+        o_ref[0, f] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frames", "ktaps", "with_res", "interpret"),
+)
+def _conv_4d(x, wa, ua, wc, bo, res, frames, ktaps, with_res, interpret):
+    b, f, s, cin = x.shape
+    cout = wc.shape[-1]
+    blk = _pick_block(s, frames, cin, cout, ktaps, with_res)
+    w_spec = lambda shape: pl.BlockSpec(shape, lambda bb, i: (0,) * len(shape))
+    in_specs = [
+        pl.BlockSpec((1, f, blk, cin), lambda bb, i: (bb, 0, i, 0)),
+        pl.BlockSpec((1, 1, cin), lambda bb, i: (bb, 0, 0)),
+        pl.BlockSpec((1, 1, cin), lambda bb, i: (bb, 0, 0)),
+        w_spec((ktaps, cin, cout)),
+        pl.BlockSpec((1, 1, cout), lambda bb, i: (bb, 0, 0)),
+    ]
+    args = [x, wa[:, None], ua[:, None], wc, bo[:, None]]
+    if with_res:
+        in_specs.append(pl.BlockSpec((1, f, blk, cout), lambda bb, i: (bb, 0, i, 0)))
+        args.append(res)
+    return pl.pallas_call(
+        functools.partial(_kernel, frames=frames, ktaps=ktaps, with_res=with_res),
+        grid=(b, s // blk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, f, blk, cout), lambda bb, i: (bb, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, f, s, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def gn_silu_tconv(
+    x: jnp.ndarray,        # (B, F, S, C) token-flattened video activation
+    wa: jnp.ndarray,       # (B, C) folded GN affine scale  (inv·gamma)
+    ua: jnp.ndarray,       # (B, C) folded GN affine shift  (beta − mean·inv·gamma)
+    conv_w: jnp.ndarray,   # (k, C, O) temporal conv taps
+    out_bias: jnp.ndarray, # (B, O) conv bias (+ folded temb), fp32
+    residual: jnp.ndarray | None = None,  # (B, F, S, O) added to the output
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """silu(GN-affine(x)) ⊛_frames conv_w + out_bias (+ residual), fused."""
+    frames = x.shape[1]
+    ktaps = conv_w.shape[0]
+    dt = x.dtype
+    return _conv_4d(
+        x, wa.astype(jnp.float32), ua.astype(jnp.float32), conv_w.astype(dt),
+        out_bias.astype(jnp.float32),
+        residual if residual is not None else jnp.zeros((), dt),
+        frames, ktaps, residual is not None, interpret,
+    )

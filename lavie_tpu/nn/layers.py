@@ -33,6 +33,32 @@ def unfold_frames(x: jnp.ndarray, video_length: int) -> jnp.ndarray:
     return x.reshape((bf // video_length, video_length) + x.shape[1:])
 
 
+def groupnorm_affine(
+    x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, num_groups: int,
+    epsilon: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold GroupNorm statistics with gamma/beta into a per-(batch, channel)
+    affine: GN(x) == x·w + u. One read of x (per-channel fp32 reductions with
+    C minor — see _GroupNormCore for why the layout matters); the tiny (B, C)
+    stats fold channels→groups exactly. Lets fused kernels apply GN as a
+    multiply-add (kernels/temporal_resblock.py)."""
+    g = num_groups
+    c = x.shape[-1]
+    b = x.shape[0]
+    xf = x.reshape(b, -1, c)
+    s1 = jnp.mean(xf, axis=1, dtype=jnp.float32)  # (B, C)
+    s2 = jnp.mean(jnp.square(xf.astype(jnp.float32)), axis=1, dtype=jnp.float32)
+    gm = jnp.mean(s1.reshape(b, g, c // g), axis=-1)  # (B, g)
+    gs = jnp.mean(s2.reshape(b, g, c // g), axis=-1)
+    var = jnp.maximum(gs - jnp.square(gm), 0.0)
+    inv = jax.lax.rsqrt(var + epsilon)  # (B, g)
+    inv_c = jnp.repeat(inv, c // g, axis=-1)  # (B, C)
+    mean_c = jnp.repeat(gm, c // g, axis=-1)
+    w = inv_c * scale[None]
+    u = bias[None] - mean_c * inv_c * scale[None]
+    return w, u
+
+
 class _GroupNormCore(nn.Module):
     """Hand-rolled GroupNorm: fp32 mean/var ACCUMULATION without materializing
     an fp32 copy of the activation, elementwise math in the input dtype.
@@ -57,24 +83,10 @@ class _GroupNormCore(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
-        shape = x.shape
-        b = shape[0]
-        xf = x.reshape(b, -1, c)  # (B, S, C): reduce over S, C minor
-        s1 = jnp.mean(xf, axis=1, dtype=jnp.float32)  # (B, C)
-        s2 = jnp.mean(
-            jnp.square(xf.astype(jnp.float32)), axis=1, dtype=jnp.float32
-        )  # (B, C)
-        # channel stats → group stats (tiny arrays)
-        gm = jnp.mean(s1.reshape(b, g, c // g), axis=-1)  # (B, g)
-        gs = jnp.mean(s2.reshape(b, g, c // g), axis=-1)
-        var = jnp.maximum(gs - jnp.square(gm), 0.0)
-        inv = jax.lax.rsqrt(var + self.epsilon)  # (B, g)
-        # per-channel affine: out = x * w + u with w = inv·scale,
-        # u = bias − mean·inv·scale
-        inv_c = jnp.repeat(inv, c // g, axis=-1)  # (B, C)
-        mean_c = jnp.repeat(gm, c // g, axis=-1)
-        w = (inv_c * scale[None]).astype(x.dtype)
-        u = (bias[None] - mean_c * inv_c * scale[None]).astype(x.dtype)
+        b = x.shape[0]
+        wf, uf = groupnorm_affine(x, scale, bias, g, self.epsilon)
+        w = wf.astype(x.dtype)
+        u = uf.astype(x.dtype)
         bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
         return x * w.reshape(bshape) + u.reshape(bshape)
 

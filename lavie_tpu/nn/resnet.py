@@ -102,10 +102,82 @@ class ResnetBlock3DCNN(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
+    def _fused_kernel_ok(self, x: jnp.ndarray) -> bool:
+        """Gate for the fused GN+SiLU+conv Pallas path
+        (kernels/temporal_resblock.py). Disable with LAVIE_TRESBLOCK=0;
+        LAVIE_TRESBLOCK=force runs interpret mode off-TPU (tests)."""
+        import os
+
+        mode = os.environ.get("LAVIE_TRESBLOCK", "1")
+        if mode not in ("1", "force") or self.is_initializing():
+            return False
+        out_ch = self.out_channels or self.in_channels
+        if out_ch != self.in_channels:  # shortcut conv not fused
+            return False
+        from lavie_tpu.kernels.attention import _on_tpu
+        from lavie_tpu.kernels.temporal_resblock import resblock_conv_supported
+
+        if not (_on_tpu() or mode == "force"):
+            return False
+        frames = x.shape[1]
+        s = 1
+        for d in x.shape[2:-1]:
+            s *= d
+        c = x.shape[-1]
+        return resblock_conv_supported(
+            frames, s, c, out_ch, self.kernel_frames
+        ) and resblock_conv_supported(frames, s, out_ch, out_ch, 3, with_res=True)
+
+    def _fused(self, x: jnp.ndarray, temb: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """Both conv passes as fused Pallas kernels; GN stats outside (XLA
+        per-channel reductions), temb folded into conv1's bias, block
+        residual folded into conv2's accumulator."""
+        import os
+
+        from lavie_tpu.kernels.attention import _on_tpu
+        from lavie_tpu.kernels.temporal_resblock import gn_silu_tconv
+        from lavie_tpu.nn.layers import groupnorm_affine
+
+        interpret = not _on_tpu() and os.environ.get("LAVIE_TRESBLOCK") == "force"
+        out_ch = self.out_channels or self.in_channels
+        p = self.variables["params"]
+        shape = x.shape
+        b, frames = shape[0], shape[1]
+        v = x.reshape(b, frames, -1, shape[-1])
+
+        n1 = p["norm1"]["norm"]
+        w1, u1 = groupnorm_affine(v, n1["scale"], n1["bias"], self.groups, self.eps)
+        c1 = p["conv1"]["conv"]
+        bias1 = c1["bias"][None].astype(jnp.float32)
+        if temb is not None and self.temb_channels is not None:
+            tp = p["time_emb_proj"]
+            sd = self.dtype
+            t = (
+                nn.silu(temb).astype(sd) @ tp["kernel"].astype(sd)
+                + tp["bias"].astype(sd)
+            )
+            bias1 = bias1 + t.astype(jnp.float32)
+        else:
+            bias1 = jnp.broadcast_to(bias1, (b, out_ch))
+        h = gn_silu_tconv(
+            v, w1, u1, c1["kernel"][:, 0], bias1, interpret=interpret
+        )
+
+        n2 = p["norm2"]["norm"]
+        w2, u2 = groupnorm_affine(h, n2["scale"], n2["bias"], self.groups, self.eps)
+        c2 = p["conv2"]["conv"]
+        bias2 = jnp.broadcast_to(c2["bias"][None].astype(jnp.float32), (b, out_ch))
+        y = gn_silu_tconv(
+            h, w2, u2, c2["kernel"][:, 0], bias2, residual=v, interpret=interpret
+        )
+        return y.reshape(shape[:-1] + (out_ch,))
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         out_ch = self.out_channels or self.in_channels
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self._fused_kernel_ok(x):
+            return self._fused(x, temb)
         h = GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = TemporalConv(out_ch, self.kernel_frames, name="conv1", **common)(h)

@@ -1,0 +1,86 @@
+"""Fused GN+SiLU+temporal-conv kernel (kernels/temporal_resblock.py) vs the
+unfused ResnetBlock3DCNN composition, interpret mode (CPU-runnable)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lavie_tpu.kernels.temporal_resblock import (
+    gn_silu_tconv,
+    resblock_conv_supported,
+)
+from lavie_tpu.nn.layers import groupnorm_affine
+from lavie_tpu.nn.resnet import ResnetBlock3DCNN
+
+
+def test_kernel_matches_composition():
+    b, f, s, c, k = 2, 4, 256, 256, 5
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (b, f, s, c))
+    gamma = jax.random.normal(ks[1], (c,)) * 0.2 + 1.0
+    beta = jax.random.normal(ks[2], (c,)) * 0.2
+    wc = jax.random.normal(ks[3], (k, c, c)) * c**-0.5
+    bias = jax.random.normal(ks[4], (b, c)) * 0.1
+
+    wa, ua = groupnorm_affine(x, gamma, beta, 32, 1e-6)
+    xn = jax.nn.silu(x * wa[:, None, None] + ua[:, None, None])
+    pad = k // 2
+    ref = jnp.zeros_like(x) + bias[:, None, None]
+    for j in range(k):
+        lo, hi = max(0, pad - j), min(f, f + pad - j)
+        ref = ref.at[:, lo:hi].add(xn[:, lo + j - pad:hi + j - pad] @ wc[j])
+
+    out = gn_silu_tconv(x, wa, ua, wc, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_kernel_residual_and_k3():
+    b, f, s, c, k = 1, 8, 128, 128, 3
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    x = jax.random.normal(ks[0], (b, f, s, c))
+    res = jax.random.normal(ks[5], (b, f, s, c))
+    gamma = jnp.ones((c,))
+    beta = jnp.zeros((c,))
+    wc = jax.random.normal(ks[3], (k, c, c)) * c**-0.5
+    bias = jnp.zeros((b, c))
+    wa, ua = groupnorm_affine(x, gamma, beta, 32, 1e-6)
+    xn = jax.nn.silu(x * wa[:, None, None] + ua[:, None, None])
+    pad = k // 2
+    ref = res + 0.0
+    for j in range(k):
+        lo, hi = max(0, pad - j), min(f, f + pad - j)
+        ref = ref.at[:, lo:hi].add(xn[:, lo + j - pad:hi + j - pad] @ wc[j])
+    out = gn_silu_tconv(x, wa, ua, wc, bias, residual=res, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("ndim", [4, 5])
+@pytest.mark.parametrize("with_temb", [True, False])
+def test_module_fused_matches_unfused(monkeypatch, ndim, with_temb):
+    """Whole ResnetBlock3DCNN: Pallas-fused (interpret) vs XLA path."""
+    b, f, c = 1, 4, 128
+    shape = (b, f, 4, 64, c) if ndim == 5 else (b, f, 256, c)
+    x = jax.random.normal(jax.random.PRNGKey(2), shape)
+    temb = jax.random.normal(jax.random.PRNGKey(3), (b, 512)) if with_temb else None
+    block = ResnetBlock3DCNN(
+        in_channels=c, out_channels=c, kernel_frames=5,
+        temb_channels=512 if with_temb else None, groups=32,
+    )
+    params = block.init(jax.random.PRNGKey(4), x, temb)
+
+    monkeypatch.setenv("LAVIE_TRESBLOCK", "0")
+    ref = block.apply(params, x, temb)
+    monkeypatch.setenv("LAVIE_TRESBLOCK", "force")
+    out = block.apply(params, x, temb)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_supported_gate():
+    assert resblock_conv_supported(8, 40960, 512, 512, 5)
+    assert resblock_conv_supported(8, 40960, 512, 512, 3, with_res=True)
+    assert not resblock_conv_supported(8, 40960, 512, 520, 5)  # misaligned
+    assert not resblock_conv_supported(8, 40961, 512, 512, 5)  # indivisible
+    assert not resblock_conv_supported(64, 40960, 1024, 1024, 5)  # no fit
