@@ -77,21 +77,26 @@ def _silu(x):
 
 
 def _kernel(x_ref, wa_ref, ua_ref, wc_ref, bo_ref, *rest, frames, ktaps,
-            with_res):
+            with_res, activation):
     if with_res:
         res_ref, o_ref = rest
     else:
         (o_ref,) = rest
     x = x_ref[0]  # (F, blk, C)
-    wa = wa_ref[0].astype(x.dtype)  # (1, C) per-batch GN affine scale
-    ua = ua_ref[0].astype(x.dtype)  # (1, C) per-batch GN affine shift
     pad = ktaps // 2
     f32 = jnp.float32
-    # normalize + silu each frame once (silu in fp32 — one VPU pass)
-    xn = [
-        _silu((x[u] * wa + ua).astype(f32)).astype(x.dtype)
-        for u in range(frames)
-    ]
+    if activation == "none":
+        # plain conv (+residual) — e.g. the TemporalModule3D zero-init
+        # shift conv fused with its module residual add
+        xn = [x[u] for u in range(frames)]
+    else:
+        wa = wa_ref[0].astype(x.dtype)  # (1, C) per-batch GN affine scale
+        ua = ua_ref[0].astype(x.dtype)  # (1, C) per-batch GN affine shift
+        # normalize + silu each frame once (silu in fp32 — one VPU pass)
+        xn = [
+            _silu((x[u] * wa + ua).astype(f32)).astype(x.dtype)
+            for u in range(frames)
+        ]
     bo = bo_ref[0]  # (1, O) fp32: conv bias (+ folded temb)
     for f in range(frames):
         acc = jnp.broadcast_to(bo, (x.shape[1], bo.shape[-1])).astype(f32)
@@ -110,9 +115,10 @@ def _kernel(x_ref, wa_ref, ua_ref, wc_ref, bo_ref, *rest, frames, ktaps,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("frames", "ktaps", "with_res", "interpret"),
+    static_argnames=("frames", "ktaps", "with_res", "activation", "interpret"),
 )
-def _conv_4d(x, wa, ua, wc, bo, res, frames, ktaps, with_res, interpret):
+def _conv_4d(x, wa, ua, wc, bo, res, frames, ktaps, with_res, activation,
+             interpret):
     b, f, s, cin = x.shape
     cout = wc.shape[-1]
     blk = _pick_block(s, frames, cin, cout, ktaps, with_res)
@@ -129,7 +135,10 @@ def _conv_4d(x, wa, ua, wc, bo, res, frames, ktaps, with_res, interpret):
         in_specs.append(pl.BlockSpec((1, f, blk, cout), lambda bb, i: (bb, 0, i, 0)))
         args.append(res)
     return pl.pallas_call(
-        functools.partial(_kernel, frames=frames, ktaps=ktaps, with_res=with_res),
+        functools.partial(
+            _kernel, frames=frames, ktaps=ktaps, with_res=with_res,
+            activation=activation,
+        ),
         grid=(b, s // blk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, f, blk, cout), lambda bb, i: (bb, 0, i, 0)),
@@ -143,21 +152,27 @@ def _conv_4d(x, wa, ua, wc, bo, res, frames, ktaps, with_res, interpret):
 
 def gn_silu_tconv(
     x: jnp.ndarray,        # (B, F, S, C) token-flattened video activation
-    wa: jnp.ndarray,       # (B, C) folded GN affine scale  (inv·gamma)
-    ua: jnp.ndarray,       # (B, C) folded GN affine shift  (beta − mean·inv·gamma)
+    wa: jnp.ndarray | None,  # (B, C) folded GN affine scale (inv·gamma)
+    ua: jnp.ndarray | None,  # (B, C) folded GN affine shift (beta − mean·inv·gamma)
     conv_w: jnp.ndarray,   # (k, C, O) temporal conv taps
     out_bias: jnp.ndarray, # (B, O) conv bias (+ folded temb), fp32
     residual: jnp.ndarray | None = None,  # (B, F, S, O) added to the output
     *,
+    activation: str = "silu",
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """silu(GN-affine(x)) ⊛_frames conv_w + out_bias (+ residual), fused."""
+    """silu(GN-affine(x)) ⊛_frames conv_w + out_bias (+ residual), fused.
+    activation="none" skips the GN affine + silu (wa/ua may be None)."""
     frames = x.shape[1]
     ktaps = conv_w.shape[0]
     dt = x.dtype
+    b = x.shape[0]
+    if wa is None:
+        wa = jnp.ones((b, x.shape[-1]), jnp.float32)
+        ua = jnp.zeros((b, x.shape[-1]), jnp.float32)
     return _conv_4d(
         x, wa.astype(jnp.float32), ua.astype(jnp.float32), conv_w.astype(dt),
         out_bias.astype(jnp.float32),
         residual if residual is not None else jnp.zeros((), dt),
-        frames, ktaps, residual is not None, interpret,
+        frames, ktaps, residual is not None, activation, interpret,
     )

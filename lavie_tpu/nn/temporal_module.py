@@ -108,7 +108,12 @@ class TemporalModule3D(nn.Module):
                 **common,
             )(tokens, ts, video_length=f)
             h = tokens.reshape(b, f, hh, ww, c)
-        # zero-init shift conv: residual is a no-op at init
+        # zero-init shift conv: residual is a no-op at init. NOTE: a fused
+        # Pallas shift+add was tried and REVERTED — the kernel itself was
+        # faster (6.0 vs 11.7 ms at L0) but the pallas_call boundary broke
+        # the preceding spatial resnet's epilogue fusions (its residual add
+        # unfused, +12.6 ms; conv2 dropped 177→154 TF/s): net −25 ms. The
+        # 1×1 conv runs as a token GEMM (layers.InflatedConv fast path).
         h = InflatedConv(
             self.channels,
             (1, 1),

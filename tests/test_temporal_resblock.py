@@ -78,6 +78,20 @@ def test_module_fused_matches_unfused(monkeypatch, ndim, with_temb):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
 
 
+def test_kernel_activation_none_is_plain_conv():
+    b, f, s, c = 1, 4, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = jax.random.normal(ks[0], (b, f, s, c))
+    res = jax.random.normal(ks[1], (b, f, s, c))
+    w = jax.random.normal(ks[2], (1, c, c)) * c**-0.5
+    bias = jnp.full((b, c), 0.25)
+    ref = res + x @ w[0] + 0.25
+    out = gn_silu_tconv(
+        x, None, None, w, bias, residual=res, activation="none", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
 def test_supported_gate():
     assert resblock_conv_supported(8, 40960, 512, 512, 5)
     assert resblock_conv_supported(8, 40960, 512, 512, 3, with_res=True)
