@@ -129,24 +129,11 @@ class InflatedConv(nn.Module):
         video = x.ndim == 5
         if video:
             x, f = fold_frames(x)
-        if (
-            self.kernel_size == (1, 1)
-            and self.strides == (1, 1)
-            and not self.is_initializing()
-        ):
-            # 1×1 conv as a token GEMM: identical math, but XLA fuses
-            # neighboring elementwise ops (e.g. the TemporalModule3D residual
-            # add) into a dot epilogue far more readily than into a
-            # convolution — the L0 shift_conv measured 89 TF/s + a separate
-            # 662 GB/s add pass as a conv. Init still runs nn.Conv (below)
-            # so the param tree/layout is unchanged ((1,1,C,O)).
-            p = self.variables["params"]["conv"]
-            y = x.astype(self.dtype) @ p["kernel"][0, 0].astype(self.dtype)
-            if self.use_bias:
-                y = y + p["bias"].astype(y.dtype)
-            if video:
-                y = unfold_frames(y, f)
-            return y
+        # NOTE: a "1×1 conv as token GEMM" fast path was tried here and
+        # REVERTED: neutral in the VSR forward (996.2 vs 994.8 ms) but a
+        # measured −11% on the TSR sample (63.1 vs 56.7 s) — the dot-layout
+        # shortcut outputs forced relayouts at the conv-layout residual adds.
+        # Keep 1×1 convs as convs; XLA's conv fusions handle them.
         x = nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,

@@ -112,8 +112,8 @@ class TemporalModule3D(nn.Module):
         # Pallas shift+add was tried and REVERTED — the kernel itself was
         # faster (6.0 vs 11.7 ms at L0) but the pallas_call boundary broke
         # the preceding spatial resnet's epilogue fusions (its residual add
-        # unfused, +12.6 ms; conv2 dropped 177→154 TF/s): net −25 ms. The
-        # 1×1 conv runs as a token GEMM (layers.InflatedConv fast path).
+        # unfused, +12.6 ms; conv2 dropped 177→154 TF/s): net −25 ms. A
+        # token-GEMM form of the 1×1 was also tried and reverted (−11% TSR).
         h = InflatedConv(
             self.channels,
             (1, 1),
