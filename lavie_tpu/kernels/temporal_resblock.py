@@ -77,11 +77,12 @@ def _silu(x):
 
 
 def _kernel(x_ref, wa_ref, ua_ref, wc_ref, bo_ref, *rest, frames, ktaps,
-            with_res, activation):
-    if with_res:
-        res_ref, o_ref = rest
-    else:
-        (o_ref,) = rest
+            with_res, activation, emit_stats):
+    rest = list(rest)
+    res_ref = rest.pop(0) if with_res else None
+    o_ref = rest.pop(0)
+    s1_ref = rest.pop(0) if emit_stats else None
+    s2_ref = rest.pop(0) if emit_stats else None
     x = x_ref[0]  # (F, blk, C)
     pad = ktaps // 2
     f32 = jnp.float32
@@ -98,6 +99,10 @@ def _kernel(x_ref, wa_ref, ua_ref, wc_ref, bo_ref, *rest, frames, ktaps,
             for u in range(frames)
         ]
     bo = bo_ref[0]  # (1, O) fp32: conv bias (+ folded temb)
+    if emit_stats:
+        ones = jnp.ones((1, x.shape[1]), f32)
+        loc1 = jnp.zeros((1, bo.shape[-1]), f32)
+        loc2 = jnp.zeros((1, bo.shape[-1]), f32)
     for f in range(frames):
         acc = jnp.broadcast_to(bo, (x.shape[1], bo.shape[-1])).astype(f32)
         for j in range(ktaps):
@@ -110,15 +115,40 @@ def _kernel(x_ref, wa_ref, ua_ref, wc_ref, bo_ref, *rest, frames, ktaps,
                 )
         if with_res:
             acc = acc + res_ref[0, f].astype(f32)
-        o_ref[0, f] = acc.astype(o_ref.dtype)
+        out = acc.astype(o_ref.dtype)
+        o_ref[0, f] = out
+        if emit_stats:
+            # per-channel Σ and Σ² of the OUTPUT (at output precision, so
+            # the stats equal a consumer reading o back) — cross-sublane
+            # reduction via a (1,blk)·(blk,C) MXU dot (jnp.sum(axis=0)
+            # crashes Mosaic on fp32 tiles)
+            of = out.astype(f32)
+            loc1 = loc1 + jax.lax.dot_general(
+                ones, of, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )
+            loc2 = loc2 + jax.lax.dot_general(
+                ones, of * of, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+    if emit_stats:
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            s1_ref[0] = loc1
+            s2_ref[0] = loc2
+
+        @pl.when(pl.program_id(1) != 0)
+        def _acc():
+            s1_ref[0] = s1_ref[0] + loc1
+            s2_ref[0] = s2_ref[0] + loc2
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("frames", "ktaps", "with_res", "activation", "interpret"),
+    static_argnames=("frames", "ktaps", "with_res", "activation",
+                     "emit_stats", "interpret"),
 )
 def _conv_4d(x, wa, ua, wc, bo, res, frames, ktaps, with_res, activation,
-             interpret):
+             emit_stats, interpret):
     b, f, s, cin = x.shape
     cout = wc.shape[-1]
     blk = _pick_block(s, frames, cin, cout, ktaps, with_res)
@@ -134,20 +164,31 @@ def _conv_4d(x, wa, ua, wc, bo, res, frames, ktaps, with_res, activation,
     if with_res:
         in_specs.append(pl.BlockSpec((1, f, blk, cout), lambda bb, i: (bb, 0, i, 0)))
         args.append(res)
-    return pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, f, blk, cout), lambda bb, i: (bb, 0, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b, f, s, cout), x.dtype)]
+    if emit_stats:
+        # (B, 1, C) Σ / Σ² of the output, accumulated across the token-block
+        # grid dim (sequential, index map constant in i)
+        out_specs += [pl.BlockSpec((1, 1, cout), lambda bb, i: (bb, 0, 0))] * 2
+        out_shape += [jax.ShapeDtypeStruct((b, 1, cout), jnp.float32)] * 2
+    out = pl.pallas_call(
         functools.partial(
             _kernel, frames=frames, ktaps=ktaps, with_res=with_res,
-            activation=activation,
+            activation=activation, emit_stats=emit_stats,
         ),
         grid=(b, s // blk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, f, blk, cout), lambda bb, i: (bb, 0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, f, s, cout), x.dtype),
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shape if emit_stats else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*args)
+    if emit_stats:
+        y, s1, s2 = out
+        return y, s1[:, 0], s2[:, 0]
+    return out
 
 
 def gn_silu_tconv(
@@ -159,10 +200,14 @@ def gn_silu_tconv(
     residual: jnp.ndarray | None = None,  # (B, F, S, O) added to the output
     *,
     activation: str = "silu",
+    emit_stats: bool = False,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """silu(GN-affine(x)) ⊛_frames conv_w + out_bias (+ residual), fused.
-    activation="none" skips the GN affine + silu (wa/ua may be None)."""
+    activation="none" skips the GN affine + silu (wa/ua may be None).
+    emit_stats=True additionally returns per-channel (Σ, Σ²) of the output
+    over (F, S) as two (B, C) fp32 arrays — a consumer GroupNorm's moments
+    without re-reading the tensor."""
     frames = x.shape[1]
     ktaps = conv_w.shape[0]
     dt = x.dtype
@@ -174,5 +219,5 @@ def gn_silu_tconv(
         x, wa.astype(jnp.float32), ua.astype(jnp.float32), conv_w.astype(dt),
         out_bias.astype(jnp.float32),
         residual if residual is not None else jnp.zeros((), dt),
-        frames, ktaps, residual is not None, activation, interpret,
+        frames, ktaps, residual is not None, activation, emit_stats, interpret,
     )

@@ -42,20 +42,31 @@ def groupnorm_affine(
     C minor — see _GroupNormCore for why the layout matters); the tiny (B, C)
     stats fold channels→groups exactly. Lets fused kernels apply GN as a
     multiply-add (kernels/temporal_resblock.py)."""
-    g = num_groups
     c = x.shape[-1]
     b = x.shape[0]
     xf = x.reshape(b, -1, c)
     s1 = jnp.mean(xf, axis=1, dtype=jnp.float32)  # (B, C)
     s2 = jnp.mean(jnp.square(xf.astype(jnp.float32)), axis=1, dtype=jnp.float32)
-    gm = jnp.mean(s1.reshape(b, g, c // g), axis=-1)  # (B, g)
-    gs = jnp.mean(s2.reshape(b, g, c // g), axis=-1)
+    return groupnorm_affine_from_moments(s1, s2, scale, bias, num_groups, epsilon)
+
+
+def groupnorm_affine_from_moments(
+    mean_c: jnp.ndarray, meansq_c: jnp.ndarray,  # (B, C) per-CHANNEL moments
+    scale: jnp.ndarray, bias: jnp.ndarray, num_groups: int, epsilon: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The groupnorm_affine fold given precomputed per-channel E[x], E[x²] —
+    e.g. the (Σ, Σ²)/n a fused producer kernel emits alongside its output
+    (kernels/temporal_resblock.py emit_stats)."""
+    g = num_groups
+    b, c = mean_c.shape
+    gm = jnp.mean(mean_c.reshape(b, g, c // g), axis=-1)  # (B, g)
+    gs = jnp.mean(meansq_c.reshape(b, g, c // g), axis=-1)
     var = jnp.maximum(gs - jnp.square(gm), 0.0)
     inv = jax.lax.rsqrt(var + epsilon)  # (B, g)
     inv_c = jnp.repeat(inv, c // g, axis=-1)  # (B, C)
-    mean_c = jnp.repeat(gm, c // g, axis=-1)
+    mc = jnp.repeat(gm, c // g, axis=-1)
     w = inv_c * scale[None]
-    u = bias[None] - mean_c * inv_c * scale[None]
+    u = bias[None] - mc * inv_c * scale[None]
     return w, u
 
 

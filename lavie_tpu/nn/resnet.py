@@ -136,7 +136,10 @@ class ResnetBlock3DCNN(nn.Module):
 
         from lavie_tpu.kernels.attention import _on_tpu
         from lavie_tpu.kernels.temporal_resblock import gn_silu_tconv
-        from lavie_tpu.nn.layers import groupnorm_affine
+        from lavie_tpu.nn.layers import (
+            groupnorm_affine,
+            groupnorm_affine_from_moments,
+        )
 
         interpret = not _on_tpu() and os.environ.get("LAVIE_TRESBLOCK") == "force"
         out_ch = self.out_channels or self.in_channels
@@ -159,12 +162,30 @@ class ResnetBlock3DCNN(nn.Module):
             bias1 = bias1 + t.astype(jnp.float32)
         else:
             bias1 = jnp.broadcast_to(bias1, (b, out_ch))
-        h = gn_silu_tconv(
-            v, w1, u1, c1["kernel"][:, 0], bias1, interpret=interpret
-        )
-
+        # conv1 can emit its output's per-channel (Σ, Σ²) so norm2's moments
+        # need no separate read of h. OPT-IN (LAVIE_TRESBLOCK_STATS=1) until
+        # device-measured: the accumulation serializes the token-block grid
+        # dim's output writes, and the axon TPU was unreachable when this
+        # landed, so the in-model cost is unverified (interpret tests pin
+        # the math).
         n2 = p["norm2"]["norm"]
-        w2, u2 = groupnorm_affine(h, n2["scale"], n2["bias"], self.groups, self.eps)
+        if os.environ.get("LAVIE_TRESBLOCK_STATS") == "1":
+            h, hs1, hs2 = gn_silu_tconv(
+                v, w1, u1, c1["kernel"][:, 0], bias1, emit_stats=True,
+                interpret=interpret,
+            )
+            n_tok = v.shape[1] * v.shape[2]
+            w2, u2 = groupnorm_affine_from_moments(
+                hs1 / n_tok, hs2 / n_tok, n2["scale"], n2["bias"],
+                self.groups, self.eps,
+            )
+        else:
+            h = gn_silu_tconv(
+                v, w1, u1, c1["kernel"][:, 0], bias1, interpret=interpret
+            )
+            w2, u2 = groupnorm_affine(
+                h, n2["scale"], n2["bias"], self.groups, self.eps
+            )
         c2 = p["conv2"]["conv"]
         bias2 = jnp.broadcast_to(c2["bias"][None].astype(jnp.float32), (b, out_ch))
         y = gn_silu_tconv(

@@ -78,6 +78,25 @@ def test_module_fused_matches_unfused(monkeypatch, ndim, with_temb):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
 
 
+def test_kernel_emit_stats_matches_direct_moments():
+    b, f, s, c, k = 2, 4, 512, 128, 5
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    x = jax.random.normal(ks[0], (b, f, s, c))
+    gamma = jax.random.normal(ks[1], (c,)) * 0.2 + 1.0
+    beta = jax.random.normal(ks[2], (c,)) * 0.2
+    wc = jax.random.normal(ks[3], (k, c, c)) * c**-0.5
+    bias = jnp.zeros((b, c))
+    wa, ua = groupnorm_affine(x, gamma, beta, 32, 1e-6)
+    y, s1, s2 = gn_silu_tconv(
+        x, wa, ua, wc, bias, emit_stats=True, interpret=True
+    )
+    y_ref = gn_silu_tconv(x, wa, ua, wc, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5, rtol=1e-5)
+    yf = np.asarray(y, np.float64).reshape(b, -1, c)
+    np.testing.assert_allclose(np.asarray(s1), yf.sum(axis=1), rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(s2), (yf**2).sum(axis=1), rtol=1e-4, atol=1e-2)
+
+
 def test_kernel_activation_none_is_plain_conv():
     b, f, s, c = 1, 4, 256, 128
     ks = jax.random.split(jax.random.PRNGKey(5), 3)
@@ -90,6 +109,21 @@ def test_kernel_activation_none_is_plain_conv():
         x, None, None, w, bias, residual=res, activation="none", interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_module_stats_path_matches(monkeypatch):
+    """LAVIE_TRESBLOCK_STATS=1: norm2 affine from kernel-emitted moments."""
+    b, f, c = 1, 4, 128
+    x = jax.random.normal(jax.random.PRNGKey(10), (b, f, 256, c))
+    block = ResnetBlock3DCNN(in_channels=c, out_channels=c, kernel_frames=5,
+                             temb_channels=None, groups=32)
+    params = block.init(jax.random.PRNGKey(11), x, None)
+    monkeypatch.setenv("LAVIE_TRESBLOCK", "force")
+    monkeypatch.delenv("LAVIE_TRESBLOCK_STATS", raising=False)
+    ref = block.apply(params, x, None)
+    monkeypatch.setenv("LAVIE_TRESBLOCK_STATS", "1")
+    out = block.apply(params, x, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
 
 
 def test_supported_gate():
