@@ -164,6 +164,10 @@ def _is_temporal(torch_key: str) -> bool:
 # Without this remap, VSR temporal-attention weights silently kept their fresh
 # init (TEMPORAL_MARKERS allows missing temporal keys) — caught by the
 # tests/test_ref_parity.py VSR UNet parity test.
+# The remap must NOT touch keys under the VSR *_temporal_block(s) temporal
+# modules: their versatile TemporalTransformerBlock names its second attention
+# `attn_temporal` too (reference: vsr/models/temporal_module.py:355-370), and
+# our module keeps that reference name verbatim.
 _REF_KEY_REMAP = [
     (".attn_temporal.", ".attn_temp."),
     (".norm_temporal.", ".norm_temp."),
@@ -175,8 +179,9 @@ def normalize_reference_keys(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarr
     for k, v in sd.items():
         if k.endswith(".inv_freq"):
             continue
-        for old, new in _REF_KEY_REMAP:
-            k = k.replace(old, new)
+        if "temporal_block" not in k:
+            for old, new in _REF_KEY_REMAP:
+                k = k.replace(old, new)
         out[k] = v
     return out
 

@@ -29,6 +29,9 @@ class TemporalModule3D(nn.Module):
     channels: int
     temb_channels: int
     norm_num_groups: int = 32
+    # the attention wrapper's GroupNorm defaults to 8 groups in the reference
+    # (temporal_module.py:83 norm_num_groups=8) while the resnets hard-code 32
+    attention_norm_num_groups: int = 8
     # optional VersatileSelfAttention branch (disabled in the shipped config)
     attention_block_types: tuple = ("", "")
     cross_frame_attention_mode: str = "0_i-1_i"
@@ -59,7 +62,8 @@ class TemporalModule3D(nn.Module):
         # measured HBM OOM).
         b_, f_, hh_, ww_, c_ = x.shape
         k_taps = 5
-        gemm_bytes = b_ * f_ * hh_ * ww_ * k_taps * c_ * 2
+        itemsize = jnp.dtype(x.dtype).itemsize
+        gemm_bytes = b_ * f_ * hh_ * ww_ * k_taps * c_ * itemsize
         flatten = gemm_bytes <= 2 * 1024**3
         resblock_t = ResnetBlock3DCNN(
             in_channels=self.channels,
@@ -85,9 +89,10 @@ class TemporalModule3D(nn.Module):
         )(h, temb)
 
         if any(self.attention_block_types):
-            # versatile attention branch (reference: temporal_module.py:118-141;
-            # head_dim = C / heads / attention_dim_div)
-            from lavie_tpu.nn.versatile_attention import TemporalTransformerBlock
+            # versatile attention branch (reference: temporal_module.py:117-143
+            # wraps the blocks in a TemporalTransformer3DModel — GroupNorm +
+            # proj_in/out + residual; head_dim = C / heads / attention_dim_div)
+            from lavie_tpu.nn.versatile_attention import TemporalTransformer3D
 
             b, f, hh, ww, c = h.shape
             tokens = h.reshape(b * f, hh * ww, c)
@@ -95,11 +100,13 @@ class TemporalModule3D(nn.Module):
             if ts is None:
                 ts = jnp.zeros((b,), jnp.int32)
             ts = jnp.repeat(ts, f, axis=0)
-            tokens = TemporalTransformerBlock(
-                dim=c,
+            tokens = TemporalTransformer3D(
+                dim=self.num_attention_heads
+                * max(c // self.num_attention_heads // self.attention_dim_div, 1),
                 heads=self.num_attention_heads,
                 head_dim=max(c // self.num_attention_heads // self.attention_dim_div, 1),
                 attention_block_types=tuple(self.attention_block_types),
+                norm_num_groups=self.attention_norm_num_groups,
                 cross_frame_attention_mode=self.cross_frame_attention_mode,
                 temporal_shift_fold_div=self.temporal_shift_fold_div,
                 use_dcn_warpping=self.use_dcn_warpping,

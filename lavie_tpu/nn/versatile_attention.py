@@ -75,7 +75,13 @@ class VersatileSelfAttention(nn.Module):
         self.to_q = dense(inner, "to_q", bias=False)
         self.to_k = dense(inner, "to_k", bias=False)
         self.to_v = dense(inner, "to_v", bias=False)
-        self.to_out_0 = dense(self.query_dim, "to_out_0")
+        # zero-init out projection: the whole attention is a no-op at init
+        # (reference: temporal_module.py:351-352, :369-370 nn.init.zeros_)
+        self.to_out_0 = nn.Dense(
+            self.query_dim, use_bias=True, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=nn.initializers.zeros,
+            name="to_out_0",
+        )
 
     def _temporal_shift(self, x: jnp.ndarray, video_length: int) -> jnp.ndarray:
         """TSM right-shift the first C/fold channels by one frame
@@ -141,10 +147,16 @@ class AdaLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timestep: jnp.ndarray) -> jnp.ndarray:
+        # Embed(num, D) → SiLU → Linear(D, 2D) → chunk(scale, shift) —
+        # the reference has a projection AFTER the activation
+        # (temporal_module.py:672-681: self.linear(self.silu(self.emb(t))))
         emb = nn.Embed(
-            self.num_embeddings, 2 * self.dim, param_dtype=self.param_dtype, name="emb"
+            self.num_embeddings, self.dim, param_dtype=self.param_dtype, name="emb"
         )(timestep)
-        emb = nn.silu(emb.astype(self.dtype))
+        emb = nn.Dense(
+            2 * self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="linear",
+        )(nn.silu(emb.astype(self.dtype)))
         scale, shift = jnp.split(emb, 2, axis=-1)
         mean = jnp.mean(x, axis=-1, dtype=jnp.float32, keepdims=True)
         var = jnp.maximum(
@@ -160,8 +172,12 @@ class AdaLayerNorm(nn.Module):
 
 
 class TemporalTransformerBlock(nn.Module):
-    """Two versatile attentions + FF, each with AdaLayerNorm timestep
-    conditioning (reference: temporal_module.py:306-427)."""
+    """Two versatile attentions (spatial, temporal) + FF. The attention
+    norms are timestep-conditioned AdaLayerNorms (the VSR config sets
+    num_embeds_ada_norm=1000, temporal_module.py:129); the FF norm is a
+    PLAIN LayerNorm — the reference's norm3 is unconditional regardless
+    (temporal_module.py:380, :427). Child names follow the reference param
+    keys: norm1/attn_spatial, norm2/attn_temporal, norm3/ff, dcn_module."""
 
     dim: int
     heads: int
@@ -180,10 +196,12 @@ class TemporalTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, timestep: jnp.ndarray, video_length: int) -> jnp.ndarray:
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        ref_names = (("norm1", "attn_spatial"), ("norm2", "attn_temporal"))
         for i, mode in enumerate(self.attention_block_types):
             if not mode:
                 continue
-            normed = AdaLayerNorm(self.dim, name=f"norms_{i}", **common)(x, timestep)
+            norm_name, attn_name = ref_names[i]
+            normed = AdaLayerNorm(self.dim, name=norm_name, **common)(x, timestep)
             attn_out = VersatileSelfAttention(
                 query_dim=self.dim,
                 heads=self.heads,
@@ -191,7 +209,7 @@ class TemporalTransformerBlock(nn.Module):
                 attention_mode=mode,
                 cross_frame_attention_mode=self.cross_frame_attention_mode,
                 temporal_shift_fold_div=self.temporal_shift_fold_div,
-                name=f"attention_blocks_{i}",
+                name=attn_name,
                 **common,
             )(normed, video_length)
             if i == len(self.attention_block_types) - 1 and self.use_dcn_warpping:
@@ -203,11 +221,61 @@ class TemporalTransformerBlock(nn.Module):
                 )(x, attn_out)
             else:
                 x = attn_out + x
-        normed = AdaLayerNorm(self.dim, name="ff_norm", **common)(x, timestep)
-        from lavie_tpu.nn.transformer import FeedForward
+        from lavie_tpu.nn.transformer import FeedForward, LayerNorm
 
+        normed = LayerNorm(dtype=self.dtype, name="norm3")(x)
         x = FeedForward(dim=self.dim, name="ff", **common)(normed) + x
         return x
+
+
+class TemporalTransformer3D(nn.Module):
+    """The reference's TemporalTransformer3DModel wrapper around
+    TemporalTransformerBlock: GroupNorm → proj_in → token fold → blocks →
+    proj_out → + residual (reference: vsr/models/temporal_module.py:181-303).
+    Child names mirror the torch keys (norm, proj_in, transformer_blocks_0,
+    proj_out); projections are Dense — the VSR config sets
+    use_linear_projection=true, and a 1×1 conv is the same GEMM anyway."""
+
+    dim: int
+    heads: int
+    head_dim: int
+    attention_block_types: Tuple[str, str]
+    norm_num_groups: int = 32
+    cross_frame_attention_mode: Optional[str] = None
+    temporal_shift_fold_div: int = 2
+    use_dcn_warpping: bool = False
+    use_deformable_conv: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, timestep: jnp.ndarray, video_length: int
+    ) -> jnp.ndarray:
+        """x: (B·F, S, C) tokens — callers fold frames and spatial dims."""
+        from lavie_tpu.nn.layers import GroupNorm
+
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        residual = x
+        h = GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
+            name="norm",
+        )(x)
+        h = nn.Dense(self.dim, name="proj_in", **common)(h)
+        h = TemporalTransformerBlock(
+            dim=self.dim,
+            heads=self.heads,
+            head_dim=self.head_dim,
+            attention_block_types=self.attention_block_types,
+            cross_frame_attention_mode=self.cross_frame_attention_mode,
+            temporal_shift_fold_div=self.temporal_shift_fold_div,
+            use_dcn_warpping=self.use_dcn_warpping,
+            use_deformable_conv=self.use_deformable_conv,
+            name="transformer_blocks_0",
+            **common,
+        )(h, timestep, video_length)
+        h = nn.Dense(x.shape[-1], name="proj_out", **common)(h)
+        return h + residual
 
 
 def bilinear_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:

@@ -351,6 +351,13 @@ class TestVersatileAttention:
         x = jnp.asarray(np.random.RandomState(0).randn(4, 6, 16), jnp.float32)
         t = jnp.array([500])
         p = m.init(jax.random.PRNGKey(0), x, t, video_length=4)
+        a0 = m.apply(p, x, t, video_length=4)
+        # to_out is zero-init (reference nn.init.zeros_): attentions are a
+        # no-op at init, so the block reduces to x + ff(norm3(x))
+        ff_only = np.asarray(a0 - x)
+        assert np.abs(ff_only).max() > 0  # ff path alive
+        # perturb to_out so the (AdaLayerNorm-conditioned) attentions engage
+        p = jax.tree_util.tree_map(lambda w: w + 0.05 if w.ndim == 2 else w, p)
         a = m.apply(p, x, t, video_length=4)
         b = m.apply(p, x, jnp.array([10]), video_length=4)
         assert a.shape == x.shape

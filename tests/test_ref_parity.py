@@ -323,6 +323,67 @@ class TestVSRModuleParity:
         got = j2t_video(ours.apply({"params": params}, x_j, temb_j))
         np.testing.assert_allclose(got, want, atol=ATOL)
 
+    @pytest.mark.parametrize(
+        "block_types",
+        [("Spatial", "Temporal"), ("SpatialTemporalShift", "CrossFrame")],
+        ids=["spatial-temporal", "tsm-crossframe"],
+    )
+    def test_temporal_module3d_versatile_attention(self, block_types):
+        """reference: vsr/models/temporal_module.py:116-143 — the optional
+        attention branch: TemporalTransformer3DModel (GroupNorm(8) → proj_in →
+        TemporalTransformerBlock ×1 → proj_out → +residual) between the
+        spatial resnet and the shift conv. Covers all four
+        VersatileSelfAttention modes and the AdaLayerNorm timestep
+        conditioning across the two parametrizations."""
+        ref = ref_shim.load_ref("vsr", "temporal_module")
+        torch.manual_seed(24)
+        tm_t = ref.TemporalModule3D(
+            in_channels=32,
+            out_channels=32,
+            temb_channels=24,
+            num_attention_layers=1,
+            num_attention_head=8,
+            attention_dim_div=2,
+            attention_block_types=block_types,
+            cross_frame_attention_mode="0_i-1_i",
+            temporal_shift_fold_div=2,
+            temporal_shift_direction="right",
+            use_dcn_warpping=False,
+            use_deformable_conv=False,
+            video_condition=False,
+        ).eval()
+        randomize_zero_weights(tm_t)
+
+        from lavie_tpu.nn.temporal_module import TemporalModule3D
+
+        ours = TemporalModule3D(
+            channels=32,
+            temb_channels=24,
+            norm_num_groups=32,
+            attention_block_types=block_types,
+            cross_frame_attention_mode="0_i-1_i",
+            num_attention_heads=8,
+            attention_dim_div=2,
+        )
+        g = torch.Generator().manual_seed(25)
+        x_t = rand_t(g, 2, 32, 4, 8, 8)
+        temb_t = rand_t(g, 2, 24)
+        ts_t = torch.tensor([37, 503])
+        x_j, temb_j = t2j_video(x_t), jnp.asarray(temb_t.numpy())
+        ts_j = jnp.asarray(ts_t.numpy())
+        init = ours.init(jax.random.PRNGKey(0), x_j, temb_j, ts_j)["params"]
+        # Real checkpoints carry these modules under *_temporal_block(s)
+        # prefixes (vsr/models/unet.py:194-196) — which is what gates the
+        # converter's attn_temporal→attn_temp remap OFF for this subtree
+        # (the versatile block keeps the reference name verbatim). Convert
+        # under the same context the checkpoint provides.
+        sd = {f"mid_temporal_block.{k}": v for k, v in sd_numpy(tm_t).items()}
+        params = convert_state_dict(init, sd, prefix="mid_temporal_block.")
+        with torch.no_grad():
+            want = tm_t(x_t, temb=temb_t, timesteps=ts_t).numpy()
+        got = j2t_video(ours.apply({"params": params}, x_j, temb_j, ts_j))
+        np.testing.assert_allclose(got, want, atol=ATOL)
+
 
 # ---------------------------------------------------------------------------
 # Transformer3DModel (the factorized spatial/cross/temporal block)
