@@ -32,16 +32,18 @@ per-pair q GEMM consumes contiguous 128-column slices of Wq (head-major),
 and the out accumulation consumes contiguous 128-row slices of Wo — the
 full q/out projections cost exactly one C×C GEMM each across the pair loop.
 
-Padded kv columns need no -inf mask: padded k columns are exactly zero, so
-their scores are exactly 0 and exp(0−m)=exp(−m) — the softmax denominator
-is corrected by subtracting (128−kv_len)·exp(−m), and padded probability
-columns multiply zero V2 rows.
+Padded kv columns are masked with a −1e9 additive bias before the softmax
+(an exp(−m) denominator correction was tried and catastrophically cancels
+in fp32 when every real score is strongly negative — see _pair_attention).
 
 fp32: LN statistics, score/softmax, GEGLU hidden, and projection
 accumulators.
 
-A standalone single-attention variant (fused_ln_cross_attention) serves
-non-only-cross blocks whose attn2 meets the same shape constraints.
+A standalone single-attention variant (fused_ln_cross_attention) exists as
+a tested baseline for non-only-cross attn2 sites with the same shape
+constraints; it is NOT wired into any nn/ module (the XLA path serves
+those blocks — only the two-attention only-cross fusion earns its kernel
+boundary in-model).
 """
 
 from __future__ import annotations
@@ -74,7 +76,17 @@ def _pair_attention(xn, wq_ref, wo_ref, bo_ref, k2_ref, v2_ref, *,
     """softmax(LN'd x · Wq · Kᵀ · scale) · V · Wo + bo, head-pair loop.
     Returns fp32 (blk, C)."""
     f32 = jnp.float32
-    n_pad = float(2 * PAIR - 2 * kv_len)  # zero-score padded columns per pair
+    if kv_len < PAIR:
+        # −inf-style mask on the padded kv columns. (A denominator
+        # correction — padded columns score exactly 0, subtract their
+        # exp(−m) mass — was tried first and is WRONG: when every real
+        # score is ≤ ~−17, fp32 rounds denom to exactly the subtracted
+        # mass and the division yields inf·0 = NaN. Verified repro in
+        # tests/test_cross_block.py::test_single_all_negative_scores.)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR), 1)
+        neg = jnp.where(col < kv_len, 0.0, -1e9).astype(f32)
+    else:
+        neg = None
     acc = jnp.zeros((xn.shape[0], wo_ref.shape[1]), f32)
     for p in range(pairs):
         wq_p = wq_ref[:, p * PAIR:(p + 1) * PAIR]  # (C, 128)
@@ -88,13 +100,11 @@ def _pair_attention(xn, wq_ref, wo_ref, bo_ref, k2_ref, v2_ref, *,
         o = None
         for j in range(2):
             sj = s[:, j * PAIR:(j + 1) * PAIR]
+            if neg is not None:
+                sj = sj + neg
             m = jnp.max(sj, axis=1, keepdims=True)
             e = jnp.exp(sj - m)
-            # padded columns hold score 0 exactly (zero k columns): remove
-            # their exp(−m) mass from the denominator instead of masking
             denom = jnp.sum(e, axis=1, keepdims=True)
-            if kv_len < PAIR:
-                denom = denom - (n_pad / 2.0) * jnp.exp(-m)
             pj = (e / denom).astype(xn.dtype)
             oj = jax.lax.dot_general(
                 pj, v2_ref[0, p, j * PAIR:(j + 1) * PAIR, :],
@@ -226,11 +236,13 @@ def cross_block_supported(n_tokens: int, c: int, heads: int, head_dim: int,
     )
 
 
-def tail_supported(n_tokens: int, c: int, inner: int) -> bool:
-    """GEGLU + proj_out weights resident in VMEM (~6.8 MB at C=512)."""
+def tail_supported(n_tokens: int, c: int, inner: int,
+                   itemsize: int = 2) -> bool:
+    """GEGLU + proj_out weights resident in VMEM (~6.8 MB at C=512 bf16;
+    itemsize = activation/weight dtype bytes)."""
     if c % 128 != 0 or inner % 128 != 0:
         return False
-    weight_bytes = (c * 2 * inner + inner * c + c * c) * 2
+    weight_bytes = (c * 2 * inner + inner * c + c * c) * itemsize
     if weight_bytes > 8 * 1024 * 1024:
         return False
     return _pick_block(n_tokens) >= 128

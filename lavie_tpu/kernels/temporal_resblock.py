@@ -41,18 +41,19 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _pick_block(s: int, frames: int, cin: int, cout: int, ktaps: int,
-                with_res: bool) -> int:
+                with_res: bool, itemsize: int = 2) -> int:
     """Largest power-of-2 token block (≥128) whose VMEM footprint fits:
     x + silu'd copy + out (+ residual) blocks, the (k,C,O) weights, and the
-    fp32 accumulator."""
+    fp32 accumulator. `itemsize` is the activation dtype's bytes (2 bf16 /
+    4 fp32 — fp32 runs halve the admissible block)."""
     blk = 512
     while blk >= 128:
         if s % blk == 0:
             est = (
-                frames * blk * cin * 2 * 2          # x block + normalized copy
-                + frames * blk * cout * 2            # out block
-                + (frames * blk * cout * 2 if with_res else 0)
-                + ktaps * cin * cout * 2             # conv weights
+                frames * blk * cin * itemsize * 2    # x block + normalized copy
+                + frames * blk * cout * itemsize     # out block
+                + (frames * blk * cout * itemsize if with_res else 0)
+                + ktaps * cin * cout * itemsize      # conv weights
                 + blk * cout * 4                     # fp32 accumulator
             )
             if est <= _VMEM_BUDGET:
@@ -62,13 +63,14 @@ def _pick_block(s: int, frames: int, cin: int, cout: int, ktaps: int,
 
 
 def resblock_conv_supported(frames: int, s: int, cin: int, cout: int,
-                            ktaps: int, with_res: bool = False) -> bool:
+                            ktaps: int, with_res: bool = False,
+                            itemsize: int = 2) -> bool:
     """Lane-aligned channels, modest frame count, and a fitting block."""
     return (
         cin % 128 == 0
         and cout % 128 == 0
         and 2 <= frames <= 32
-        and _pick_block(s, frames, cin, cout, ktaps, with_res) >= 128
+        and _pick_block(s, frames, cin, cout, ktaps, with_res, itemsize) >= 128
     )
 
 
@@ -151,7 +153,8 @@ def _conv_4d(x, wa, ua, wc, bo, res, frames, ktaps, with_res, activation,
              emit_stats, interpret):
     b, f, s, cin = x.shape
     cout = wc.shape[-1]
-    blk = _pick_block(s, frames, cin, cout, ktaps, with_res)
+    blk = _pick_block(s, frames, cin, cout, ktaps, with_res,
+                      jnp.dtype(x.dtype).itemsize)
     w_spec = lambda shape: pl.BlockSpec(shape, lambda bb, i: (0,) * len(shape))
     in_specs = [
         pl.BlockSpec((1, f, blk, cin), lambda bb, i: (bb, 0, i, 0)),

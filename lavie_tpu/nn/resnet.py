@@ -124,9 +124,12 @@ class ResnetBlock3DCNN(nn.Module):
         for d in x.shape[2:-1]:
             s *= d
         c = x.shape[-1]
+        item = jnp.dtype(x.dtype).itemsize
         return resblock_conv_supported(
-            frames, s, c, out_ch, self.kernel_frames
-        ) and resblock_conv_supported(frames, s, out_ch, out_ch, 3, with_res=True)
+            frames, s, c, out_ch, self.kernel_frames, itemsize=item
+        ) and resblock_conv_supported(
+            frames, s, out_ch, out_ch, 3, with_res=True, itemsize=item
+        )
 
     def _fused(self, x: jnp.ndarray, temb: Optional[jnp.ndarray]) -> jnp.ndarray:
         """Both conv passes as fused Pallas kernels; GN stats outside (XLA

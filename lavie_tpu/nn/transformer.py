@@ -305,12 +305,17 @@ class BasicTransformerBlock(nn.Module):
             tail_supported,
         )
 
+        import jax.numpy as _jnp
+
         return (
             (_on_tpu() or mode == "force")
             and cross_block_supported(
                 n_tokens, self.dim, self.heads, self.head_dim, kv_len
             )
-            and tail_supported(n_tokens, self.dim, self.dim * 4)
+            and tail_supported(
+                n_tokens, self.dim, self.dim * 4,
+                itemsize=_jnp.dtype(self.dtype).itemsize,
+            )
         )
 
     def fused_only_cross(

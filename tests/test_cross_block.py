@@ -148,3 +148,33 @@ def test_fused_only_cross_transformer_matches_unfused(monkeypatch):
     monkeypatch.setenv("LAVIE_CROSS_BLOCK", "force")
     out = model.apply(params, x, ehs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+def test_single_all_negative_scores():
+    """Regression: with every real score strongly negative, the old padded-kv
+    denominator correction cancelled to 0 in fp32 and produced NaN; the −1e9
+    mask must keep the output finite and equal to the reference.
+
+    Construction: gamma=0, beta=1 makes LN(x) == 1 for every token, wq=I
+    makes q == 1, and k == −1 makes every real score exactly −scale·d < −17
+    — under the old code m=0 (padded zeros), Σexp == the subtracted padded
+    mass in fp32, denominator 0 → NaN."""
+    b, s, c, heads, lkv = 1, 256, 256, 4, 77
+    x = jax.random.normal(jax.random.PRNGKey(7), (b, s, c))
+    gamma = jnp.zeros((c,))
+    beta = jnp.ones((c,))
+    wq = jnp.eye(c)
+    wo = jnp.eye(c)
+    bo = jnp.zeros((c,))
+    k = -3.0 * jnp.ones((b, lkv, c))  # per-head score = −3·64·scale = −24
+    v = jax.random.normal(jax.random.PRNGKey(8), (b, lkv, c))
+    scale = (c // heads) ** -0.5
+    ref = _attn_ref(x, gamma, beta, wq, wo, bo, k, v, heads, scale)
+    out = fused_ln_cross_attention(
+        x, gamma, beta, wq, wo, bo, k, v, heads=heads, scale=scale,
+        interpret=True,
+    )
+    assert np.isfinite(np.asarray(out)).all(), "NaN/inf in fused output"
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
