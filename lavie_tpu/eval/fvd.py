@@ -61,9 +61,20 @@ def fvd_preprocess(
     idx = np.linspace(0, videos.shape[1] - 1, num_frames).astype(int)
     clips = videos[:, idx].astype(np.float32) / 255.0
     h, w = clips.shape[2:4]
-    c = min(crop, h, w)
-    y0, x0 = (h - c) // 2, (w - c) // 2
-    clips = clips[:, :, y0 : y0 + c, x0 : x0 + c]
+    # torchvision CenterCrop semantics: sides SMALLER than the crop are
+    # zero-PADDED to it (not cropped to the min side) — F.center_crop pads
+    # symmetrically before cropping. Matching this exactly keeps the R3D-18
+    # features comparable to the reference recipe on <270 px videos.
+    if h < crop or w < crop:
+        ph, pw = max(crop - h, 0), max(crop - w, 0)
+        clips = np.pad(
+            clips,
+            ((0, 0), (0, 0),
+             (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0)),
+        )
+        h, w = clips.shape[2:4]
+    y0, x0 = (h - crop) // 2, (w - crop) // 2
+    clips = clips[:, :, y0 : y0 + crop, x0 : x0 + crop]
     clips = np.stack([resize_bilinear(v, (size, size)) for v in clips])
     return (clips - IMAGENET_MEAN) / IMAGENET_STD
 

@@ -151,3 +151,28 @@ class TestCLIPSIM:
         # agreement to a few least-significant uint8 counts is parity here
         assert np.abs(ours - ref).max() < 0.15
         assert np.abs(ours - ref).mean() < 0.02
+
+
+class TestFVDPreprocess:
+    def test_small_video_zero_padded_to_crop(self):
+        """torchvision CenterCrop(270) PADS sides smaller than 270 with
+        zeros (it does not crop to the min side) — the padded border must
+        survive into the normalized output as the -mean/std constant."""
+        from lavie_tpu.eval.fvd import IMAGENET_MEAN, IMAGENET_STD, fvd_preprocess
+
+        v = np.full((1, 4, 256, 256, 3), 255, np.uint8)
+        out = fvd_preprocess(v, num_frames=4, crop=270, size=224)
+        assert out.shape == (1, 4, 224, 224, 3)
+        border = out[0, 0, 0, 0]          # padded corner pixel
+        center = out[0, 0, 112, 112]      # interior pixel (value 1.0)
+        np.testing.assert_allclose(border, (0 - IMAGENET_MEAN) / IMAGENET_STD, atol=1e-5)
+        np.testing.assert_allclose(center, (1 - IMAGENET_MEAN) / IMAGENET_STD, atol=1e-5)
+
+    def test_large_video_center_cropped(self):
+        from lavie_tpu.eval.fvd import fvd_preprocess
+
+        v = np.zeros((1, 4, 300, 400, 3), np.uint8)
+        v[:, :, 15:285, 65:335] = 255     # exactly the center 270x270 window
+        out = fvd_preprocess(v, num_frames=4, crop=270, size=224)
+        # everything kept should be the bright window — no zero border rows
+        assert (out[0, 0].std(axis=(0, 1)) < 1e-3).all()
