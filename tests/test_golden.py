@@ -129,6 +129,27 @@ def test_temporal_module3d_golden():
     np.testing.assert_allclose(got, outs["y"], atol=ATOL)
 
 
+def test_temporal_module3d_versatile_golden():
+    """The versatile-attention branch (TemporalTransformer3DModel wrapper +
+    AdaLayerNorm + TSM/CrossFrame attention modes) against a reference dump
+    — pins the round-2 parity fixes without needing torch at test time."""
+    from lavie_tpu.nn.temporal_module import TemporalModule3D
+
+    sd, ins, outs, meta = load("temporal_module3d_versatile")
+    m = TemporalModule3D(
+        channels=32, temb_channels=24, norm_num_groups=32,
+        attention_block_types=("SpatialTemporalShift", "CrossFrame"),
+        cross_frame_attention_mode="0_i-1_i",
+        num_attention_heads=8, attention_dim_div=2,
+    )
+    x, temb = t2j(ins["x"]), jnp.asarray(ins["temb"])
+    ts = jnp.asarray(ins["timesteps"].astype(np.int32))
+    init = m.init(jax.random.PRNGKey(0), x, temb, ts)["params"]
+    params = convert_state_dict(init, sd, prefix="mid_temporal_block.")
+    got = j2t(m.apply({"params": params}, x, temb, ts))
+    np.testing.assert_allclose(got, outs["y"], atol=ATOL)
+
+
 def test_tiny_base_unet_golden():
     from lavie_tpu.core.config import UNetConfig
     from lavie_tpu.nn.unet import UNet3D

@@ -160,6 +160,35 @@ def dump_modules():
     _save("temporal_module3d", sd, {"x": x, "temb": temb}, {"y": y},
           {"channels": 32, "temb_channels": 24})
 
+    # --- TemporalModule3D with the versatile-attention branch enabled ---
+    # (TemporalTransformer3DModel wrapper + AdaLayerNorm + all-mode
+    # VersatileSelfAttention, reference: temporal_module.py:116-143).
+    # Keys are dumped under a mid_temporal_block. prefix — the context real
+    # checkpoints provide, which gates the converter's attn_temporal remap
+    # OFF for this subtree.
+    torch.manual_seed(9)
+    tmv = tmod.TemporalModule3D(
+        in_channels=32, out_channels=32, temb_channels=24,
+        num_attention_layers=1, num_attention_head=8, attention_dim_div=2,
+        attention_block_types=("SpatialTemporalShift", "CrossFrame"),
+        cross_frame_attention_mode="0_i-1_i", temporal_shift_fold_div=2,
+        temporal_shift_direction="right", use_dcn_warpping=False,
+        use_deformable_conv=False, video_condition=False,
+    ).eval()
+    dezero(tmv)
+    sd = {f"mid_temporal_block.{k}": v for k, v in sd16(tmv).items()}
+    # dedicated generator: keeps the shared stream (and every later golden)
+    # byte-stable against this insertion
+    gv = torch.Generator().manual_seed(90)
+    x = torch.randn(2, 32, 4, 8, 8, generator=gv)
+    temb = torch.randn(2, 24, generator=gv)
+    ts = torch.tensor([37, 503])
+    with torch.no_grad():
+        y = tmv(x, temb=temb, timesteps=ts)
+    _save("temporal_module3d_versatile", sd,
+          {"x": x, "temb": temb, "timesteps": ts.numpy()}, {"y": y},
+          {"channels": 32, "temb_channels": 24, "heads": 8, "dim_div": 2})
+
     # --- full tiny base UNet forward ---
     unet = ref_shim.load_ref("base", "unet")
     torch.manual_seed(8)
