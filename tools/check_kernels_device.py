@@ -167,6 +167,84 @@ def check_temporal_fused() -> bool:
     return ok
 
 
+def check_temporal_v4() -> bool:
+    """The whole-head (B,F,C,S) temporal kernel vs XLA per-position attention."""
+    from lavie_tpu.kernels.temporal_attention import (
+        temporal_attention,
+        temporal_supported_shape,
+    )
+
+    ok = True
+    shapes = [
+        ("vsr L1 temporal v4 (c512 h8 f8 s5120)", 1, 8, 5120, 8, 64),
+        ("vsr L2 temporal v4 (c1024 h8 f8 s1280)", 1, 8, 1280, 8, 128),
+    ]
+    for name, b, f, s, h, d in shapes:
+        if not temporal_supported_shape(f, h, d, s):
+            print(f"  {name:55s} (shape not gated in — skipped)")
+            continue
+        keys = jax.random.split(jax.random.PRNGKey(abs(hash(name)) % 2**31), 4)
+        q = _rand(keys[0], (b, f, s, h, d))
+        k = _rand(keys[1], (b, f, s, h, d))
+        v = _rand(keys[2], (b, f, s, h, d))
+        bias = jax.random.normal(keys[3], (h, f, f), dtype=jnp.float32)
+        scale = d ** -0.5
+        got = temporal_attention(q, k, v, bias, scale=scale)
+
+        def xla_ref(q, k, v, bias):
+            def fold(x):  # (B,F,S,H,D) → (B·S, F, H, D)
+                return jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(b * s, f, h, d)
+
+            o = _xla_attention(fold(q), fold(k), fold(v), bias, scale)
+            return jnp.transpose(o.reshape(b, s, f, h, d), (0, 2, 1, 3, 4))
+
+        want = jax.jit(xla_ref)(q, k, v, bias)
+        ok &= _check(name, got, want)
+    return ok
+
+
+def check_unet_fused_ab() -> bool:
+    """Tiny gate-compatible VSR UNet forward with every fused Pallas path
+    FORCED vs all-XLA, on the real device — the Mosaic-layer analog of
+    tests/test_fused_integration.py (covers cross_block head/tail,
+    temporal_resblock ± emit_stats, and their model wiring)."""
+    import dataclasses
+
+    from lavie_tpu.core.config import UNetConfig
+    from lavie_tpu.nn.unet import UNet3D
+
+    cfg = dataclasses.replace(
+        UNetConfig.vsr(),
+        block_out_channels=(128, 128, 128, 128),
+        layers_per_block=1,
+        num_attention_heads=2,
+        cross_attention_dim=128,
+        norm_num_groups=32,
+        rope_dim=8,
+    )
+    model = UNet3D(config=cfg)
+    b, f, h, w = 1, 4, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, f, h, w, cfg.in_channels))
+    t = jnp.array([7], jnp.int32)
+    text = jax.random.normal(jax.random.PRNGKey(1), (b, 77, cfg.cross_attention_dim))
+    labels = jnp.array([3], jnp.int32)
+
+    gates = ("LAVIE_CROSS_BLOCK", "LAVIE_TRESBLOCK", "LAVIE_TRESBLOCK_STATS")
+    saved = {g: os.environ.get(g) for g in gates}
+    try:
+        for g in gates:
+            os.environ[g] = "0"
+        params = model.init(jax.random.PRNGKey(2), x, t, text, class_labels=labels)
+        want = model.apply(params, x, t, text, class_labels=labels)
+        for g in gates:
+            os.environ[g] = "force" if g != "LAVIE_TRESBLOCK_STATS" else "1"
+        got = model.apply(params, x, t, text, class_labels=labels)
+    finally:
+        for g, val in saved.items():
+            os.environ.pop(g, None) if val is None else os.environ.__setitem__(g, val)
+    return _check("tiny VSR UNet forward, all kernels forced", got, want, tol=5e-3)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})")
@@ -181,6 +259,10 @@ def main():
     ok &= check_flash()
     print("temporal_fused vs XLA:")
     ok &= check_temporal_fused()
+    print("temporal_attention v4 vs XLA:")
+    ok &= check_temporal_v4()
+    print("fused UNet forward vs XLA (cross_block + temporal_resblock):")
+    ok &= check_unet_fused_ab()
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
