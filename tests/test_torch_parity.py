@@ -7,6 +7,8 @@ CLIPTextModel is exactly what the reference wraps
 exactly what MappingNetwork wraps (reference: base/pipelines/mapping.py:74-76).
 """
 
+import json
+
 import numpy as np
 import pytest
 
@@ -316,3 +318,72 @@ class TestR3D18Parity:
         n = sum(x.size for x in jax.tree.leaves(params))
         # torchvision r3d_18 minus fc: 33.17M params + BN running stats
         assert n > 33_000_000, n
+
+
+class TestCLIPTokenizerParity:
+    """Our native BPE vs transformers.CLIPTokenizer on a constructed vocab.
+
+    The real SD-1.4 vocab files are not in this image (zero egress), but the
+    BPE algorithm itself — byte→unicode mapping, merge-rank greedy loop,
+    </w> word endings, BOS/EOS padding contract — is vocabulary-independent,
+    so parity on a small constructed vocab is parity of the algorithm.
+    ftfy is absent, so HF falls back to BasicTokenizer text cleaning;
+    prompts below avoid the cases where that differs from CLIP's cleaning
+    (contractions, exotic whitespace)."""
+
+    @pytest.fixture(scope="class")
+    def vocab_files(self, tmp_path_factory):
+        from lavie_tpu.io.tokenizer import bytes_to_unicode
+
+        d = tmp_path_factory.mktemp("clip_vocab")
+        alphabet = list(bytes_to_unicode().values())
+        vocab = {}
+        for ch in alphabet:
+            vocab[ch] = len(vocab)
+        for ch in alphabet:
+            vocab[ch + "</w>"] = len(vocab)
+        merges = [
+            ("h", "e"), ("l", "l"), ("o", "</w>"), ("ll", "o</w>"),
+            ("he", "llo</w>"), ("c", "a"), ("ca", "t</w>"), ("a", "</w>"),
+            ("o", "f</w>"), ("t", "</w>"), ("d", "o"), ("do", "g</w>"),
+            ("1", "</w>"), (".", "</w>"), (",", "</w>"),
+        ]
+        for a, b in merges:
+            tok = a + b
+            if tok not in vocab:
+                vocab[tok] = len(vocab)
+        vocab["<|startoftext|>"] = len(vocab)
+        vocab["<|endoftext|>"] = len(vocab)
+        vp, mp = d / "vocab.json", d / "merges.txt"
+        vp.write_text(json.dumps(vocab))
+        mp.write_text(
+            "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n"
+        )
+        return str(vp), str(mp)
+
+    def test_matches_transformers(self, vocab_files):
+        from transformers import CLIPTokenizer as HFTokenizer
+
+        from lavie_tpu.io.tokenizer import CLIPTokenizer
+
+        vp, mp = vocab_files
+        hf = HFTokenizer(vocab_file=vp, merges_file=mp, model_max_length=77)
+        ours = CLIPTokenizer(vocab_path=vp, merges_path=mp, max_length=77)
+        prompts = [
+            "hello",
+            "a cat of a dog",
+            "hello hello cat",
+            "A CAT",                       # lowercasing
+            "a  cat   dog",                # whitespace cleanup
+            "cat, dog.",                   # punctuation splits
+            "zzz qqq",                     # unknown-merge words → char tokens
+            "1 cat 2 dogs",                # digit handling
+            "cat " * 60,                   # truncation past 77
+            "",                            # empty prompt
+        ]
+        want = hf(
+            prompts, padding="max_length", max_length=77, truncation=True,
+            return_tensors="np",
+        )["input_ids"]
+        got = ours(prompts)
+        np.testing.assert_array_equal(got, want)
