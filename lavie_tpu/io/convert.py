@@ -174,6 +174,19 @@ _REF_KEY_REMAP = [
 ]
 
 
+# diffusers ≥0.15 renamed the VAE mid-block AttentionBlock params
+# (query/key/value/proj_attn → to_q/to_k/to_v/to_out.0); published SD VAE
+# folders exist in both eras. Normalize to the classic names our module uses.
+# Matches only params DIRECTLY under mid_block.attentions.N — the UNet's
+# mid_block.attentions.N.transformer_blocks.M.attn1.to_q must stay to_q.
+_VAE_ATTN_REMAP = re.compile(
+    r"(mid_block\.attentions\.\d+\.)(to_q|to_k|to_v|to_out\.0)\."
+)
+_VAE_ATTN_NAMES = {
+    "to_q": "query", "to_k": "key", "to_v": "value", "to_out.0": "proj_attn"
+}
+
+
 def normalize_reference_keys(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     out = {}
     for k, v in sd.items():
@@ -182,6 +195,9 @@ def normalize_reference_keys(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarr
         if "temporal_block" not in k:
             for old, new in _REF_KEY_REMAP:
                 k = k.replace(old, new)
+        k = _VAE_ATTN_REMAP.sub(
+            lambda m: m.group(1) + _VAE_ATTN_NAMES[m.group(2)] + ".", k
+        )
         out[k] = v
     return out
 

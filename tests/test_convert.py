@@ -141,6 +141,37 @@ class TestRoundTrip:
         restored = convert_state_dict(params, sd)
         tree_equal(params, restored)
 
+    def test_vae_new_era_attention_keys(self):
+        """diffusers ≥0.15 stores the VAE mid attention as to_q/to_k/to_v/
+        to_out.0; both eras must load to the same params — and the UNet's
+        mid_block.attentions.N.transformer_blocks.M.attn1.to_q (a legitimate
+        to_q) must NOT be touched by the remap."""
+        from lavie_tpu.io.convert import normalize_reference_keys
+
+        cfg = VAEConfig.sd().tiny()
+        model = AutoencoderKL(config=cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)))["params"]
+        sd = export_state_dict(params)
+        renames = {
+            ".query.": ".to_q.", ".key.": ".to_k.", ".value.": ".to_v.",
+            ".proj_attn.": ".to_out.0.",
+        }
+        new_sd = {}
+        for k, v in sd.items():
+            if "mid_block.attentions" in k:
+                for old, new in renames.items():
+                    k = k.replace(old, new)
+            new_sd[k] = v
+        assert "encoder.mid_block.attentions.0.to_q.weight" in new_sd
+        restored = convert_state_dict(params, new_sd)
+        tree_equal(params, restored)
+
+        unet_key = (
+            "mid_block.attentions.0.transformer_blocks.0.attn1.to_q.weight"
+        )
+        out = normalize_reference_keys({unet_key: np.zeros((4, 4))})
+        assert unet_key in out
+
     def test_clip_roundtrip_with_hf_nesting(self):
         cfg = CLIPTextConfig.vit_l().tiny()
         model = CLIPTextModel(config=cfg)
