@@ -21,6 +21,10 @@ class ResnetBlock3D(nn.Module):
     out_channels: Optional[int] = None
     temb_channels: Optional[int] = 1280
     groups: int = 32
+    # norm2 group count when it differs from norm1's (reference
+    # ResnetBlock3D(groups_out=...) — the VSR v_cond_conv uses groups=3 on
+    # its 3-channel RGB input but groups_out=32, vsr/models/resnet.py:151-170)
+    groups_out: Optional[int] = None
     eps: float = 1e-6
     output_scale_factor: float = 1.0
     dtype: Dtype = jnp.float32
@@ -40,7 +44,10 @@ class ResnetBlock3D(nn.Module):
             # (B, C) → broadcast over (B, F, H, W, C)
             h = h + t[:, None, None, None, :]
 
-        h = GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
+        h = GroupNorm(
+            num_groups=self.groups_out or self.groups, epsilon=self.eps,
+            dtype=self.dtype, name="norm2",
+        )(h)
         h = nn.silu(h)
         h = InflatedConv(out_ch, (3, 3), name="conv2", **common)(h)
 

@@ -6,10 +6,13 @@ residual temporal block inserted after every down/mid/up UNet block: a true
 shift conv added back to the input, so at init the module is a no-op over the
 pretrained 2D upsampler.
 
-The shipped VSR config disables the optional attention/warp branches
-(`attention_block_types: ["", ""]`, reference: vsr/configs/unet_3d_config.json:52-55)
-— this implements the live CNN path; the VersatileSelfAttention / WarpModule
-variants are documented stretch goals (SURVEY §7 non-goals).
+The shipped VSR config disables the optional branches
+(`attention_block_types: ["", ""]`, `video_condition: false`,
+reference: vsr/configs/unet_3d_config.json:52-55,:64), but the full schema is
+implemented: the versatile-attention transformer (nn/versatile_attention.py),
+the conditioning-video concat branch (v_cond_conv), and the scale-shift
+residual variant — each parity-tested against the reference torch module
+(tests/test_ref_parity.py::TestVSRModuleParity).
 """
 
 from __future__ import annotations
@@ -40,6 +43,15 @@ class TemporalModule3D(nn.Module):
     num_attention_heads: int = 8
     use_dcn_warpping: bool = False
     use_deformable_conv: bool = False
+    # conditioning-video branch: RGB frames → ResnetBlock3D(3 → C/4,
+    # groups=3/groups_out=32) concatenated onto the input channels before the
+    # temporal resnet (reference: temporal_module.py:106-112, :155-163;
+    # `video_condition: false` in the shipped config)
+    video_condition: bool = False
+    # scale-shift residual: zero-init 1×1 conv → (1+scale)·input + shift
+    # instead of input + shift (reference: temporal_module.py:145-176; the
+    # reference notes use_scale_shift=True NaNs in training and defaults off)
+    use_scale_shift: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -49,6 +61,7 @@ class TemporalModule3D(nn.Module):
         x: jnp.ndarray,
         temb: Optional[jnp.ndarray],
         timesteps: Optional[jnp.ndarray] = None,
+        condition_video: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         # The temporal 3D-CNN resnet can run on the flattened (B, F, H·W, C)
@@ -60,13 +73,30 @@ class TemporalModule3D(nn.Module):
         # k×-wide intermediate, so gate it to levels where that fits
         # comfortably (≤ ~2 GB; the VSR L0 level would need 6.7 GB —
         # measured HBM OOM).
-        b_, f_, hh_, ww_, c_ = x.shape
+        h_in = x
+        in_ch = self.channels
+        if self.video_condition:
+            assert condition_video is not None, "video_condition needs frames"
+            cond_dim = self.channels // 4
+            hidden_condition = ResnetBlock3D(
+                in_channels=3,
+                out_channels=cond_dim,
+                temb_channels=self.temb_channels,
+                groups=3,
+                groups_out=32,
+                name="v_cond_conv",
+                **common,
+            )(condition_video, temb)
+            h_in = jnp.concatenate([x, hidden_condition], axis=-1)
+            in_ch = self.channels + cond_dim
+
+        b_, f_, hh_, ww_, c_ = h_in.shape
         k_taps = 5
-        itemsize = jnp.dtype(x.dtype).itemsize
+        itemsize = jnp.dtype(h_in.dtype).itemsize
         gemm_bytes = b_ * f_ * hh_ * ww_ * k_taps * c_ * itemsize
         flatten = gemm_bytes <= 2 * 1024**3
         resblock_t = ResnetBlock3DCNN(
-            in_channels=self.channels,
+            in_channels=in_ch,
             out_channels=self.channels,
             kernel_frames=k_taps,
             temb_channels=self.temb_channels,
@@ -75,10 +105,10 @@ class TemporalModule3D(nn.Module):
             **common,
         )
         if flatten:
-            h = resblock_t(x.reshape(b_, f_, hh_ * ww_, c_), temb)
-            h = h.reshape(b_, f_, hh_, ww_, c_)
+            h = resblock_t(h_in.reshape(b_, f_, hh_ * ww_, c_), temb)
+            h = h.reshape(b_, f_, hh_, ww_, self.channels)
         else:
-            h = resblock_t(x, temb)
+            h = resblock_t(h_in, temb)
         h = ResnetBlock3D(
             in_channels=self.channels,
             out_channels=self.channels,
@@ -121,6 +151,17 @@ class TemporalModule3D(nn.Module):
         # the preceding spatial resnet's epilogue fusions (its residual add
         # unfused, +12.6 ms; conv2 dropped 177→154 TF/s): net −25 ms. A
         # token-GEMM form of the 1×1 was also tried and reverted (−11% TSR).
+        if self.use_scale_shift:
+            h = InflatedConv(
+                self.channels * 2,
+                (1, 1),
+                kernel_init=nn.initializers.zeros,
+                name="scale_shift_conv",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(h)
+            scale, shift = jnp.split(h, 2, axis=-1)
+            return (1 + scale) * x + shift
         h = InflatedConv(
             self.channels,
             (1, 1),

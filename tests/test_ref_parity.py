@@ -384,6 +384,47 @@ class TestVSRModuleParity:
         got = j2t_video(ours.apply({"params": params}, x_j, temb_j, ts_j))
         np.testing.assert_allclose(got, want, atol=ATOL)
 
+    def test_temporal_module3d_video_condition_scale_shift(self):
+        """reference: vsr/models/temporal_module.py:106-112,:155-176 — the
+        conditioning-video concat branch (v_cond_conv: ResnetBlock3D 3→C/4,
+        groups=3/groups_out=32) and the scale-shift residual variant
+        ((1+scale)·input + shift from a zero-init 1×1 conv)."""
+        ref = ref_shim.load_ref("vsr", "temporal_module")
+        torch.manual_seed(30)
+        tm_t = ref.TemporalModule3D(
+            in_channels=128,
+            out_channels=128,
+            temb_channels=24,
+            attention_block_types=("", ""),
+            use_scale_shift=True,
+            video_condition=True,
+        ).eval()
+        randomize_zero_weights(tm_t)
+
+        from lavie_tpu.nn.temporal_module import TemporalModule3D
+
+        ours = TemporalModule3D(
+            channels=128, temb_channels=24, norm_num_groups=32,
+            video_condition=True, use_scale_shift=True,
+        )
+        g = torch.Generator().manual_seed(31)
+        x_t = rand_t(g, 2, 128, 4, 4, 4)
+        cond_t = rand_t(g, 2, 3, 4, 4, 4)
+        temb_t = rand_t(g, 2, 24)
+        x_j, cond_j = t2j_video(x_t), t2j_video(cond_t)
+        temb_j = jnp.asarray(temb_t.numpy())
+        init = ours.init(
+            jax.random.PRNGKey(0), x_j, temb_j, condition_video=cond_j
+        )["params"]
+        sd = {f"mid_temporal_block.{k}": v for k, v in sd_numpy(tm_t).items()}
+        params = convert_state_dict(init, sd, prefix="mid_temporal_block.")
+        with torch.no_grad():
+            want = tm_t(x_t, condition_video=cond_t, temb=temb_t).numpy()
+        got = j2t_video(
+            ours.apply({"params": params}, x_j, temb_j, condition_video=cond_j)
+        )
+        np.testing.assert_allclose(got, want, atol=ATOL)
+
 
 # ---------------------------------------------------------------------------
 # Transformer3DModel (the factorized spatial/cross/temporal block)
