@@ -176,3 +176,29 @@ class TestFVDPreprocess:
         out = fvd_preprocess(v, num_frames=4, crop=270, size=224)
         # everything kept should be the bright window — no zero border rows
         assert (out[0, 0].std(axis=(0, 1)) < 1e-3).all()
+
+
+class TestMSVDDataset:
+    def test_annotation_captions_and_augment(self, video_dir, tmp_path):
+        """reference: base/pipelines/msvd.py:9-103 — id→caption annotation
+        file, mid-frame sample, flip/brightness augmentation keeps range."""
+        from lavie_tpu.data import MSVDDataset
+
+        ann = tmp_path / "annotations.txt"
+        ann.write_text(
+            "a_cat_jumping a cat jumps high\n"
+            "a_cat_jumping a cat leaps\n"
+            "a_dog_running a dog runs\n"
+        )
+        ds = MSVDDataset(video_dir, str(ann), num_frames=4, size=(16, 16),
+                         augment=False, seed=0)
+        caps = {ds[i]["caption"] for i in range(len(ds))}
+        assert "a dog runs" in caps
+        assert caps & {"a cat jumps high", "a cat leaps"}
+
+        ds_aug = MSVDDataset(video_dir, str(ann), num_frames=4, size=(16, 16),
+                             augment=True, seed=1)
+        for i in range(len(ds_aug)):
+            v = ds_aug[i]["video"]
+            assert v.shape == (4, 16, 16, 3)
+            assert -1.01 <= v.min() and v.max() <= 1.01

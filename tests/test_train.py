@@ -190,3 +190,51 @@ def _collect_lora(tree):
             if isinstance(v, dict):
                 out.extend(_collect_lora(v))
     return out
+
+
+class TestMappingTrainer:
+    def test_step_reduces_loss(self):
+        """Standalone mapper training (reference: base/pipelines/mapping.py:
+        101-276): MSE + in-batch-negative cosine toward the caption states;
+        optimizer touches the mapper only."""
+        import optax
+
+        from lavie_tpu.core.config import CLIPTextConfig
+        from lavie_tpu.nn.clip import (
+            CLIPTextModel,
+            CLIPVisionConfig,
+            CLIPVisionModel,
+        )
+        from lavie_tpu.nn.mapping import MappingNetwork
+        from lavie_tpu.train.mapping_trainer import make_mapping_train_step
+
+        tcfg = CLIPTextConfig.vit_l().tiny()
+        vcfg = CLIPVisionConfig().tiny()
+        text = CLIPTextModel(config=tcfg)
+        vision = CLIPVisionModel(config=vcfg)
+        mapping = MappingNetwork(
+            input_dim=vcfg.hidden_size, output_dim=tcfg.hidden_size,
+            num_layers=1, num_heads=2, seq_len_in=vcfg.num_positions,
+            seq_len_out=7, ffn_dim=32,
+        )
+        rng = jax.random.PRNGKey(0)
+        tokens = jnp.ones((2, 7), jnp.int32)
+        pixels = jnp.ones((2, vcfg.image_size, vcfg.image_size, 3))
+        frozen = {
+            "text_encoder": text.init(rng, tokens)["params"],
+            "vision_encoder": vision.init(rng, pixels)["params"],
+        }
+        ts = text.apply({"params": frozen["text_encoder"]}, tokens)
+        vs = vision.apply({"params": frozen["vision_encoder"]}, pixels)
+        mp = mapping.init(rng, vs, ts)["params"]
+
+        opt = optax.adam(1e-3)
+        step = make_mapping_train_step(mapping, text, vision, opt)
+        opt_state = opt.init(mp)
+        batch = {"token_ids": tokens, "pixel_values": pixels}
+        losses = []
+        for _ in range(5):
+            mp, opt_state, metrics = step(mp, opt_state, frozen, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
