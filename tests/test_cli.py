@@ -119,3 +119,35 @@ def test_cascade_cli(tmp_path):
     )
     cascade.main(["--config", cfg])
     assert os.listdir(out_dir), "cascade wrote no outputs"
+
+
+def test_train_mapping_cli(tmp_path):
+    """Standalone mapper pre-training CLI (reference: base/pipelines/
+    mapping.py `training_mapping`): two tiny steps over a video folder,
+    mapper checkpoint written."""
+    import numpy as np
+
+    from lavie_tpu.cli import train_mapping
+
+    vids = tmp_path / "vids"
+    vids.mkdir()
+    rng = np.random.RandomState(0)
+    for name in ("a_cat", "a_dog"):
+        np.save(vids / f"{name}.npy",
+                (rng.rand(4, 32, 32, 3) * 255).astype(np.uint8))
+    out_dir = str(tmp_path / "ckpt")
+    cfg = _write_cfg(
+        tmp_path / "mapping.yaml",
+        {
+            "model_scale": "tiny",
+            "train_data_dir": str(vids),
+            "train_batch_size": 2,
+            "max_train_steps": 2,
+            "learning_rate": 1e-4,
+            "logging_dir": str(tmp_path / "logs"),
+            "output_dir": out_dir,
+            "seed": 0,
+        },
+    )
+    train_mapping.main(["--config", cfg])
+    assert os.path.isdir(os.path.join(out_dir, "mapper"))
