@@ -634,3 +634,30 @@ class TestTinyUNetForwardParity:
             ).sample.numpy()
         got = j2t_video(ours.apply({"params": params}, x_j, t_j, ctx_j, cl_j))
         np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+class TestNoiseAugParity:
+    def test_q_sample_matches_reference(self):
+        """reference: vsr/models/upscaling.py:58-95 — q_sample under the
+        squared-sqrt-linspace β schedule, same x/noise/levels both sides."""
+        ref = ref_shim.load_ref("vsr", "upscaling")
+        aug_t = ref.ImageConcatWithNoiseAugmentation(
+            noise_schedule_config={"timesteps": 1000}, max_noise_level=350
+        )
+        from lavie_tpu.diffusion.noise_aug import low_scale_schedule
+        from lavie_tpu.diffusion.samplers import add_noise
+
+        sched = low_scale_schedule(1000)
+        g = torch.Generator().manual_seed(40)
+        x_t = rand_t(g, 3, 4, 8, 8)
+        noise_t = rand_t(g, 3, 4, 8, 8)
+        lvl_t = torch.tensor([0, 177, 349])
+        with torch.no_grad():
+            want = aug_t.q_sample(x_t, lvl_t, noise=noise_t).numpy()
+        got = add_noise(
+            sched,
+            jnp.asarray(x_t.numpy()),
+            jnp.asarray(noise_t.numpy()),
+            jnp.asarray(lvl_t.numpy()),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
