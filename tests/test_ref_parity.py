@@ -661,3 +661,102 @@ class TestNoiseAugParity:
             jnp.asarray(lvl_t.numpy()),
         )
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+class TestOpenAIDiffusionParity:
+    """Direct parity vs the reference's OpenAI SpacedDiffusion files
+    (interpolation/diffusion/ — torch+numpy, importable verbatim).
+    The TSR stage samples with create_diffusion(str(50)): linear β,
+    EPSILON mean, FIXED_LARGE variance, eta=0 DDIM, clip_denoised=False
+    (reference: interpolation/sample.py:118-123, diffusion/__init__.py)."""
+
+    @staticmethod
+    def _load():
+        import importlib
+        import types
+
+        pkg = "ref_interp_diffusion"
+        if pkg not in sys.modules:
+            mod = types.ModuleType(pkg)
+            mod.__path__ = ["/root/reference/interpolation/diffusion"]
+            sys.modules[pkg] = mod
+        gd = importlib.import_module(f"{pkg}.gaussian_diffusion")
+        respace = importlib.import_module(f"{pkg}.respace")
+        return gd, respace
+
+    def _spaced(self, gd, respace, steps=50):
+        return respace.SpacedDiffusion(
+            use_timesteps=respace.space_timesteps(1000, str(steps)),
+            betas=gd.get_named_beta_schedule("linear", 1000),
+            model_mean_type=gd.ModelMeanType.EPSILON,
+            model_var_type=gd.ModelVarType.FIXED_LARGE,
+            loss_type=gd.LossType.MSE,
+        )
+
+    def test_spaced_timestep_sets_match(self):
+        gd, respace = self._load()
+        from lavie_tpu.diffusion.samplers import spaced_timesteps
+
+        for steps in (50, 25, 10):
+            want = sorted(respace.space_timesteps(1000, str(steps)))
+            ts_desc, prev_desc = spaced_timesteps(steps, 1000)
+            got = sorted(int(t) for t in ts_desc)
+            assert got == want, (steps, got[:5], want[:5])
+            # prev chain is the kept sequence shifted (−1 terminal)
+            assert int(prev_desc[-1]) == -1
+            assert sorted(int(t) for t in prev_desc[:-1]) == want[:-1]
+
+    def test_q_sample_matches(self):
+        gd, _ = self._load()
+        from lavie_tpu.diffusion.samplers import add_noise
+        from lavie_tpu.diffusion.schedule import NoiseSchedule
+
+        diff = gd.GaussianDiffusion(
+            betas=gd.get_named_beta_schedule("linear", 1000),
+            model_mean_type=gd.ModelMeanType.EPSILON,
+            model_var_type=gd.ModelVarType.FIXED_LARGE,
+            loss_type=gd.LossType.MSE,
+        )
+        sched = NoiseSchedule.create("linear", 1000, 1e-4, 2e-2)
+        g = torch.Generator().manual_seed(50)
+        x = rand_t(g, 2, 3, 4, 4)
+        noise = rand_t(g, 2, 3, 4, 4)
+        t = torch.tensor([0, 777])
+        want = diff.q_sample(x, t, noise=noise).numpy()
+        got = add_noise(
+            sched, jnp.asarray(x.numpy()), jnp.asarray(noise.numpy()),
+            jnp.asarray(t.numpy()),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_ddim_step_matches_spaced_chain(self):
+        """One eta=0 DDIM step on the respaced chain, same fixed-eps model:
+        the reference steps its REINDEXED tables at spaced index i; ours
+        indexes the full table at (t, prev) — proven-equal forms."""
+        gd, respace = self._load()
+        from lavie_tpu.diffusion.samplers import ddim_step, spaced_timesteps
+        from lavie_tpu.diffusion.schedule import NoiseSchedule
+
+        spaced = self._spaced(gd, respace, 50)
+        sched = NoiseSchedule.create("linear", 1000, 1e-4, 2e-2)
+        ts_desc, prev_desc = spaced_timesteps(50, 1000)
+
+        g = torch.Generator().manual_seed(51)
+        x = rand_t(g, 2, 3, 4, 4)
+        eps = rand_t(g, 2, 3, 4, 4)
+        model = lambda xx, tt, **kw: eps
+
+        for i in (0, 20, 49):  # spaced indices: first, middle, terminal
+            # reference indexes the spaced chain by position
+            spaced_i = len(ts_desc) - 1 - i  # ascending position of ts_desc[i]
+            t_ref = torch.tensor([spaced_i, spaced_i])
+            with torch.no_grad():
+                want = spaced.ddim_sample(
+                    model, x, t_ref, clip_denoised=False, eta=0.0
+                )["sample"].numpy()
+            got = ddim_step(
+                sched, jnp.asarray(x.numpy()), jnp.asarray(eps.numpy()),
+                jnp.asarray(int(ts_desc[i])), jnp.asarray(int(prev_desc[i])),
+            )
+            np.testing.assert_allclose(np.asarray(got), want, atol=2e-5,
+                                       err_msg=f"spaced step i={i}")
