@@ -37,14 +37,17 @@ def augment_conditioning(
     rng: jax.Array,
     noise_level: Optional[jnp.ndarray] = None,
     max_noise_level: int = 1000,
+    noise: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """q-sample the conditioning at `noise_level` (sampled uniformly in
     [0, max_noise_level) when None) — returns (augmented, levels)
-    (reference: vsr/models/upscaling.py:86-95)."""
+    (reference: vsr/models/upscaling.py:86-95). `noise` overrides the
+    sampled gaussian (parity tests)."""
     b = x.shape[0]
     lvl_key, noise_key = jax.random.split(rng)
     if noise_level is None:
         noise_level = jax.random.randint(lvl_key, (b,), 0, max_noise_level)
-    noise = jax.random.normal(noise_key, x.shape, dtype=jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(noise_key, x.shape, dtype=jnp.float32)
     z = add_noise(schedule, x.astype(jnp.float32), noise, noise_level)
     return z.astype(x.dtype), noise_level

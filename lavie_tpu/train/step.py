@@ -89,6 +89,9 @@ def conditioned_diffusion_loss(
     max_aug_level: int = 200,
     prediction_type: str = "epsilon",
     model_kwargs: Optional[Dict[str, Any]] = None,
+    noise: Optional[jnp.ndarray] = None,         # parity tests: fixed gaussians
+    aug_level: Optional[jnp.ndarray] = None,     # (t_head in the reference)
+    aug_noise: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Interpolation/VSR-style training loss with channel-concat conditioning.
 
@@ -106,7 +109,8 @@ def conditioned_diffusion_loss(
     t_key, n_key, aug_key = jax.random.split(rng, 3)
     if t is None:
         t = jax.random.randint(t_key, (b,), 0, schedule.num_train_timesteps)
-    noise = jax.random.normal(n_key, latents.shape, dtype=latents.dtype)
+    if noise is None:
+        noise = jax.random.normal(n_key, latents.shape, dtype=latents.dtype)
     x_t = add_noise(schedule, latents, noise, t)
     if mask is not None:
         # model may see the known frames clean (reference :835-836)
@@ -115,11 +119,17 @@ def conditioned_diffusion_loss(
         from lavie_tpu.diffusion.noise_aug import augment_conditioning
 
         cond, _ = augment_conditioning(
-            noise_aug_schedule, cond, aug_key, max_noise_level=max_aug_level
+            noise_aug_schedule, cond, aug_key, noise_level=aug_level,
+            max_noise_level=max_aug_level, noise=aug_noise,
         )
         if mask is not None:
-            # zero augmented noise on known slots (reference :845-846)
-            cond = cond * mask
+            # the augmented conditioning survives only on KNOWN slots — the
+            # reference keeps it where the mask channel is 0 and zeroes it on
+            # generate slots (gaussian_diffusion.py:845-846
+            # `noise_aug * (x_start[:, 4] == 0)`; mask 1 = generate there
+            # too, via the :836 blend). Round-2 parity fix: this previously
+            # multiplied by `mask`, the exact inverse.
+            cond = cond * (1.0 - mask)
     parts = [x_t] if mask is None else [x_t, mask.astype(x_t.dtype)]
     model_in = jnp.concatenate(parts + [cond.astype(x_t.dtype)], axis=-1)
     target = noise if prediction_type == "epsilon" else get_velocity(schedule, latents, noise, t)
