@@ -761,6 +761,42 @@ class TestOpenAIDiffusionParity:
             np.testing.assert_allclose(np.asarray(got), want, atol=2e-5,
                                        err_msg=f"spaced step i={i}")
 
+    def test_ddpm_p_sample_matches_spaced_chain(self):
+        """Ancestral DDPM step (FIXED_LARGE, the TSR p_sample_loop default)
+        on the respaced chain — same eps model and same gaussian both sides,
+        incl. the terminal step's zero-noise mask."""
+        gd, respace = self._load()
+        from lavie_tpu.diffusion.samplers import ddpm_step, spaced_timesteps
+        from lavie_tpu.diffusion.schedule import NoiseSchedule
+
+        spaced = self._spaced(gd, respace, 50)
+        sched = NoiseSchedule.create("linear", 1000, 1e-4, 2e-2)
+        ts_desc, prev_desc = spaced_timesteps(50, 1000)
+
+        g = torch.Generator().manual_seed(52)
+        x = rand_t(g, 2, 3, 4, 4)
+        eps = rand_t(g, 2, 3, 4, 4)
+        model = lambda xx, tt, **kw: eps
+
+        for i in (0, 20, 48, 49):
+            spaced_i = len(ts_desc) - 1 - i
+            t_ref = torch.tensor([spaced_i, spaced_i])
+            torch.manual_seed(777 + i)
+            with torch.no_grad():
+                want = spaced.p_sample(
+                    model, x, t_ref, clip_denoised=False
+                )["sample"].numpy()
+            torch.manual_seed(777 + i)
+            ref_noise = torch.randn_like(x)
+            got = ddpm_step(
+                sched, jnp.asarray(x.numpy()), jnp.asarray(eps.numpy()),
+                jnp.asarray(int(ts_desc[i])), jnp.asarray(int(prev_desc[i])),
+                jnp.asarray(ref_noise.numpy()),
+                variance_type="fixed_large",
+            )
+            np.testing.assert_allclose(np.asarray(got), want, atol=3e-5,
+                                       err_msg=f"spaced step i={i}")
+
 
 class TestConditionedLossParity:
     def test_training_losses_masked_noise_aug(self):
