@@ -54,8 +54,13 @@ def vsr_ddim_timesteps(
     num_train_timesteps: int = 1000,
     steps_offset: int = 1,
 ) -> np.ndarray:
-    """The VSR stage's vendored DDIM uses linspace spacing instead of stock
-    arange×ratio (reference: vsr/diffusion/scheduling_ddim.py:268-291)."""
+    """Linspace spacing of the VSR stage's VENDORED DDIM
+    (reference: vsr/diffusion/scheduling_ddim.py:268-291). NOTE: this file is
+    dead in the shipped path — both VSR entry points REPLACE the pipeline
+    scheduler with stock diffusers DDIMScheduler.from_config(x4-upscaler
+    config, beta_schedule→linear) (vsr/sample.py:49-53, predict.py:148-156),
+    i.e. `ddim_timesteps` arange spacing with the config's steps_offset=1 and
+    set_alpha_to_one=False. Kept as the documented vendored variant."""
     ts = (
         np.linspace(steps_offset, num_train_timesteps, num_inference_steps)
         .round()[::-1]
@@ -226,11 +231,18 @@ def ddim_step(
     eta: float = 0.0,
     noise: jnp.ndarray | None = None,
     clip_sample: bool = False,
+    final_alpha_bar: jnp.ndarray | float | None = None,
 ) -> jnp.ndarray:
     """One deterministic (eta=0) DDIM step (diffusers DDIMScheduler.step,
-    eq. 12 of Song et al.)."""
+    eq. 12 of Song et al.).
+
+    final_alpha_bar: ᾱ used when prev_t < 0 (the last step). None → 1.0
+    (diffusers set_alpha_to_one=True); pass schedule.alphas_cumprod[0] for
+    set_alpha_to_one=False checkpoints (the x4-upscaler's DDIM config)."""
     ab_t = schedule.alpha_bar(t)
     ab_prev = schedule.alpha_bar(prev_t)
+    if final_alpha_bar is not None:
+        ab_prev = jnp.where(prev_t < 0, final_alpha_bar, ab_prev)
 
     x0, eps = predict_x0(sample, model_output, ab_t, prediction_type)
     if clip_sample:

@@ -35,8 +35,8 @@ from lavie_tpu.diffusion import NoiseSchedule, add_noise
 from lavie_tpu.diffusion.samplers import (
     classifier_free_guidance,
     ddim_step,
+    ddim_timesteps,
     prev_timesteps,
-    vsr_ddim_timesteps,
 )
 from lavie_tpu.io.tokenizer import CLIPTokenizer
 from lavie_tpu.nn.clip import CLIPTextModel
@@ -161,7 +161,12 @@ class VideoSuperResolutionPipeline:
         unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
         decode_chunk = self.decode_chunk
 
-        ts = vsr_ddim_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
+        # stock diffusers DDIM spacing: BOTH reference entry points replace
+        # the vendored linspace scheduler with DDIMScheduler.from_config(the
+        # x4-upscaler config, steps_offset=1, set_alpha_to_one=False,
+        # beta_schedule overridden to linear) — vsr/sample.py:49-53,
+        # predict.py:148-156. The vendored scheduling_ddim.py linspace is dead.
+        ts = ddim_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
         pts = prev_timesteps(ts, self.sampling.num_train_timesteps)
         ts_arr, pts_arr = jnp.asarray(ts), jnp.asarray(pts)
 
@@ -231,7 +236,8 @@ class VideoSuperResolutionPipeline:
                         class_labels=jnp.broadcast_to(noise_level, (2 * batch,)),
                     ).astype(jnp.float32)
                     v = classifier_free_guidance(pred, guidance_scale)
-                x = ddim_step(schedule, x, v, t, pt, prediction_type="v_prediction")
+                x = ddim_step(schedule, x, v, t, pt, prediction_type="v_prediction",
+                              final_alpha_bar=schedule.alphas_cumprod[0])
                 return x, None
 
             x, _ = jax.lax.scan(body, x, (ts_arr, pts_arr))
@@ -275,7 +281,12 @@ class VideoSuperResolutionPipeline:
         unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
         decode_chunk = self.decode_chunk
 
-        ts = vsr_ddim_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
+        # stock diffusers DDIM spacing: BOTH reference entry points replace
+        # the vendored linspace scheduler with DDIMScheduler.from_config(the
+        # x4-upscaler config, steps_offset=1, set_alpha_to_one=False,
+        # beta_schedule overridden to linear) — vsr/sample.py:49-53,
+        # predict.py:148-156. The vendored scheduling_ddim.py linspace is dead.
+        ts = ddim_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
         pts = prev_timesteps(ts, self.sampling.num_train_timesteps)
 
         @jax.jit
@@ -316,7 +327,8 @@ class VideoSuperResolutionPipeline:
         @jax.jit
         def combine_fn(x, pred_u, pred_c, t, pt, guidance):
             v = pred_u + guidance * (pred_c - pred_u)
-            return ddim_step(schedule, x, v, t, pt, prediction_type="v_prediction")
+            return ddim_step(schedule, x, v, t, pt, prediction_type="v_prediction",
+                              final_alpha_bar=schedule.alphas_cumprod[0])
 
         @jax.jit
         def decode_chunk_fn(params, z_chunk):

@@ -205,3 +205,37 @@ class TestCFG:
         out = classifier_free_guidance(pred, 7.5)
         np.testing.assert_allclose(np.asarray(out), 7.5)
         assert out.shape == (1, 4)
+
+
+class TestFinalAlphaBar:
+    def test_set_alpha_to_one_false_semantics(self):
+        """The x4-upscaler DDIM config sets set_alpha_to_one=False: the last
+        step's previous alpha-bar is alphas_cumprod[0], not 1.0
+        (reference: vsr/diffusion/scheduling_ddim.py:173-175; the shipped
+        entry points load exactly that config, vsr/sample.py:49-53)."""
+        s = make_schedule()
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(1, 4, 4, 2), jnp.float32)
+        v = jnp.asarray(rng.randn(1, 4, 4, 2), jnp.float32)
+        t = jnp.asarray(1)
+        pt = jnp.asarray(-19)
+        ab0 = float(s.alphas_cumprod[0])
+
+        default = ddim_step(s, x, v, t, pt, prediction_type="v_prediction")
+        fixed = ddim_step(s, x, v, t, pt, prediction_type="v_prediction",
+                          final_alpha_bar=s.alphas_cumprod[0])
+        # closed form with ab_prev = ab0 instead of 1
+        ab_t = float(s.alphas_cumprod[1])
+        x0 = np.sqrt(ab_t) * np.asarray(x) - np.sqrt(1 - ab_t) * np.asarray(v)
+        eps = np.sqrt(ab_t) * np.asarray(v) + np.sqrt(1 - ab_t) * np.asarray(x)
+        want = np.sqrt(ab0) * x0 + np.sqrt(1 - ab0) * eps
+        np.testing.assert_allclose(np.asarray(fixed), want, atol=1e-5)
+        # and it must differ from the set_alpha_to_one=True default
+        assert np.abs(np.asarray(fixed) - np.asarray(default)).max() > 1e-4
+        # non-terminal steps are unaffected by the option
+        same = ddim_step(s, x, v, jnp.asarray(501), jnp.asarray(481),
+                         prediction_type="v_prediction",
+                         final_alpha_bar=s.alphas_cumprod[0])
+        base = ddim_step(s, x, v, jnp.asarray(501), jnp.asarray(481),
+                         prediction_type="v_prediction")
+        np.testing.assert_array_equal(np.asarray(same), np.asarray(base))
