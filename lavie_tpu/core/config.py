@@ -276,6 +276,14 @@ class SamplingConfig:
     prediction_type: str = "epsilon"  # epsilon | v_prediction
     eta: float = 0.0
     fps: int = 8
+    # The reference builds DDPM/DDIM via from_pretrained on the SD-1.4
+    # scheduler config (base/pipelines/sample.py:44-60): that config has no
+    # clip_sample key, so diffusers' default clip_sample=True applies, and it
+    # sets set_alpha_to_one=false (DDIM's terminal previous-alpha is ᾱ₀, not
+    # 1). The VSR stage overrides both from the x4-upscaler config
+    # (clip_sample=false there).
+    clip_sample: bool = True
+    set_alpha_to_one: bool = False
 
 
 def load_yaml_config(path: str) -> dict:

@@ -64,7 +64,11 @@ class VideoInterpolationPipeline:
         text_config: CLIPTextConfig,
         params: Dict[str, Any],
         sampling: SamplingConfig = SamplingConfig(
-            video_length=61, num_inference_steps=50, guidance_scale=4.0, sample_method="ddim"
+            video_length=61, num_inference_steps=50, guidance_scale=4.0,
+            sample_method="ddim",
+            # the TSR reference samples with clip_denoised=False
+            # (interpolation/sample.py:118-126)
+            clip_sample=False,
         ),
         tokenizer: Optional[CLIPTokenizer] = None,
         dtype: Any = jnp.bfloat16,
@@ -105,7 +109,11 @@ class VideoInterpolationPipeline:
         vae_config: VAEConfig = VAEConfig.sd(),
         text_config: CLIPTextConfig = CLIPTextConfig.vit_l(),
         sampling: SamplingConfig = SamplingConfig(
-            video_length=61, num_inference_steps=50, guidance_scale=4.0, sample_method="ddim"
+            video_length=61, num_inference_steps=50, guidance_scale=4.0,
+            sample_method="ddim",
+            # the TSR reference samples with clip_denoised=False
+            # (interpolation/sample.py:118-126)
+            clip_sample=False,
         ),
         dtype: Any = jnp.bfloat16,
     ) -> "VideoInterpolationPipeline":

@@ -226,6 +226,10 @@ class TextToVideoPipeline:
 
         unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
         prediction_type = cfg.prediction_type
+        clip_sample = cfg.clip_sample
+        final_ab = (
+            None if cfg.set_alpha_to_one else schedule.alphas_cumprod[0]
+        )
 
         vision_encoder = self.vision_encoder
         mapping_network = self.mapping_network
@@ -275,11 +279,14 @@ class TextToVideoPipeline:
                         x = ddpm_step(
                             schedule, x, eps, t, pt, noise,
                             prediction_type=prediction_type,
+                            clip_sample=clip_sample,
                         )
                     else:
                         x = ddim_step(
                             schedule, x, eps, t, pt,
                             prediction_type=prediction_type, eta=0.0,
+                            clip_sample=clip_sample,
+                            final_alpha_bar=final_ab,
                         )
                     return (x, key), None
 
@@ -344,6 +351,10 @@ class TextToVideoPipeline:
         unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
         vision_encoder, mapping_network = self.vision_encoder, self.mapping_network
         prediction_type = cfg.prediction_type
+        clip_sample = cfg.clip_sample
+        final_ab = (
+            None if cfg.set_alpha_to_one else schedule.alphas_cumprod[0]
+        )
 
         if sample_method == "ddpm":
             ts = ddpm_timesteps(num_inference_steps, cfg.num_train_timesteps)
@@ -390,13 +401,16 @@ class TextToVideoPipeline:
                 key, sub = jax.random.split(key)
                 noise = jax.random.normal(sub, x.shape, dtype=jnp.float32)
                 return ddpm_step(schedule, x, eps, t, pt, noise,
-                                 prediction_type=prediction_type), key
+                                 prediction_type=prediction_type,
+                                 clip_sample=clip_sample), key
         elif sample_method == "ddim":
             @jax.jit
             def step_fn(params, x, text_states, t, pt, key, guidance):
                 eps = unet_eps(params, x, text_states, t, guidance, jnp.float32(1.0))
                 return ddim_step(schedule, x, eps, t, pt,
-                                 prediction_type=prediction_type), key
+                                 prediction_type=prediction_type,
+                                 clip_sample=clip_sample,
+                                 final_alpha_bar=final_ab), key
         else:
             @jax.jit
             def step_fn(params, x, text_states, t, sigma, sigma_next, key, guidance):

@@ -59,6 +59,8 @@ class VideoSuperResolutionPipeline:
         sampling: SamplingConfig = SamplingConfig(
             num_inference_steps=50, guidance_scale=5.0, sample_method="ddim",
             prediction_type="v_prediction",
+            # the x4-upscaler DDIM config sets clip_sample=false explicitly
+            clip_sample=False,
         ),
         tokenizer: Optional[CLIPTokenizer] = None,
         dtype: Any = jnp.bfloat16,
