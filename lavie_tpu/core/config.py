@@ -226,6 +226,9 @@ class CLIPTextConfig:
     intermediate_size: int = 3072
     max_position_embeddings: int = 77
     layer_norm_eps: float = 1e-5
+    # HF config hidden_act: ViT-L towers use quick_gelu; the x4-upscaler's
+    # OpenCLIP-H text encoder uses plain (erf) gelu
+    hidden_act: str = "quick_gelu"
     # CLIP joint-embedding dimension (text_projection/visual_projection);
     # ViT-L/14: 768, ViT-B/32: 512. Used by the CLIPSIM scorer
     # (reference: base/pipelines/fine_tuning.py:860-892 scores with the
@@ -243,6 +246,7 @@ class CLIPTextConfig:
             num_layers=23,
             num_heads=16,
             intermediate_size=4096,
+            hidden_act="gelu",
         )
 
     def tiny(self) -> "CLIPTextConfig":

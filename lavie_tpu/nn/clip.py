@@ -33,6 +33,9 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 class CLIPMLP(nn.Module):
     hidden_size: int
     intermediate_size: int
+    # "quick_gelu" (OpenAI ViT-L towers) or "gelu" (the x4-upscaler's
+    # OpenCLIP-H text encoder sets hidden_act="gelu" in its HF config)
+    hidden_act: str = "quick_gelu"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -40,7 +43,12 @@ class CLIPMLP(nn.Module):
     def __call__(self, x):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = nn.Dense(self.intermediate_size, name="fc1", **common)(x)
-        x = quick_gelu(x)
+        if self.hidden_act == "quick_gelu":
+            x = quick_gelu(x)
+        elif self.hidden_act == "gelu":
+            x = jax.nn.gelu(x, approximate=False)
+        else:
+            raise ValueError(f"unknown hidden_act: {self.hidden_act}")
         return nn.Dense(self.hidden_size, name="fc2", **common)(x)
 
 
@@ -78,6 +86,7 @@ class CLIPEncoderLayer(nn.Module):
     intermediate_size: int
     eps: float = 1e-5
     causal: bool = True
+    hidden_act: str = "quick_gelu"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -94,6 +103,7 @@ class CLIPEncoderLayer(nn.Module):
         h = ln("layer_norm2")(x.astype(jnp.float32)).astype(x.dtype)
         x = x + CLIPMLP(
             self.hidden_size, self.intermediate_size,
+            hidden_act=self.hidden_act,
             dtype=self.dtype, param_dtype=self.param_dtype, name="mlp",
         )(h)
         return x
@@ -126,6 +136,7 @@ class CLIPTextModel(nn.Module):
                 cfg.num_heads,
                 cfg.intermediate_size,
                 eps=cfg.layer_norm_eps,
+                hidden_act=getattr(cfg, "hidden_act", "quick_gelu"),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layers_{i}",

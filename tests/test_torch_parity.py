@@ -24,7 +24,10 @@ from lavie_tpu.nn.mapping import MappingNetwork
 
 
 class TestCLIPTextParity:
-    def test_matches_transformers_torch(self):
+    @pytest.mark.parametrize("act", ["quick_gelu", "gelu"])
+    def test_matches_transformers_torch(self, act):
+        """quick_gelu = the ViT-L towers; gelu = the x4-upscaler's OpenCLIP-H
+        text encoder (hidden_act="gelu" in its HF config)."""
         from transformers import CLIPTextConfig as HFConfig
         from transformers import CLIPTextModel as HFModel
 
@@ -35,13 +38,14 @@ class TestCLIPTextParity:
             num_hidden_layers=2,
             num_attention_heads=2,
             max_position_embeddings=16,
+            hidden_act=act,
         )
         torch.manual_seed(0)
         hf = HFModel(hf_cfg).eval()
 
         ours_cfg = CLIPTextConfig(
             vocab_size=99, hidden_size=32, num_layers=2, num_heads=2,
-            intermediate_size=64, max_position_embeddings=16,
+            intermediate_size=64, max_position_embeddings=16, hidden_act=act,
         )
         ours = CLIPTextModel(config=ours_cfg)
         ids_np = np.array([[1, 5, 7, 42, 2, 2, 2, 2, 9, 9, 9, 9, 3, 3, 3, 3]], np.int32)
