@@ -44,6 +44,9 @@ def build_pipeline(cfg: dict) -> TextToVideoPipeline:
         beta_end=cfg.get("beta_end", 0.02),
         beta_schedule=cfg.get("beta_schedule", "linear"),
         fps=cfg.get("fps", 8),
+        # diffusers-config-derived flags (SD-1.4 defaults; see SamplingConfig)
+        clip_sample=cfg.get("clip_sample", True),
+        set_alpha_to_one=cfg.get("set_alpha_to_one", False),
     )
     if scale == "tiny":
         unet_cfg = UNetConfig.base_t2v().tiny()
