@@ -150,6 +150,24 @@ def test_temporal_module3d_versatile_golden():
     np.testing.assert_allclose(got, outs["y"], atol=ATOL)
 
 
+def test_temporal_module3d_vidcond_golden():
+    """The conditioning-video concat + scale-shift residual branches
+    (reference: temporal_module.py:106-112,:145-176), pinned torch-free."""
+    from lavie_tpu.nn.temporal_module import TemporalModule3D
+
+    sd, ins, outs, meta = load("temporal_module3d_vidcond")
+    m = TemporalModule3D(
+        channels=128, temb_channels=24, norm_num_groups=32,
+        video_condition=True, use_scale_shift=True,
+    )
+    x, cond = t2j(ins["x"]), t2j(ins["cond"])
+    temb = jnp.asarray(ins["temb"])
+    init = m.init(jax.random.PRNGKey(0), x, temb, condition_video=cond)["params"]
+    params = convert_state_dict(init, sd, prefix="mid_temporal_block.")
+    got = j2t(m.apply({"params": params}, x, temb, condition_video=cond))
+    np.testing.assert_allclose(got, outs["y"], atol=ATOL)
+
+
 def test_tiny_base_unet_golden():
     from lavie_tpu.core.config import UNetConfig
     from lavie_tpu.nn.unet import UNet3D

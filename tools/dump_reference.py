@@ -189,6 +189,27 @@ def dump_modules():
           {"x": x, "temb": temb, "timesteps": ts.numpy()}, {"y": y},
           {"channels": 32, "temb_channels": 24, "heads": 8, "dim_div": 2})
 
+    # --- TemporalModule3D: video_condition + use_scale_shift branches ---
+    # (reference: temporal_module.py:106-112, :145-176; v_cond_conv needs
+    # C/4 >= 32 for its groups_out=32 GroupNorm)
+    torch.manual_seed(10)
+    tmc = tmod.TemporalModule3D(
+        in_channels=128, out_channels=128, temb_channels=24,
+        attention_block_types=("", ""), use_scale_shift=True,
+        video_condition=True,
+    ).eval()
+    dezero(tmc)
+    sd = {f"mid_temporal_block.{k}": v for k, v in sd16(tmc).items()}
+    gc_ = torch.Generator().manual_seed(100)
+    x = torch.randn(2, 128, 4, 4, 4, generator=gc_)
+    cond = torch.randn(2, 3, 4, 4, 4, generator=gc_)
+    temb = torch.randn(2, 24, generator=gc_)
+    with torch.no_grad():
+        y = tmc(x, condition_video=cond, temb=temb)
+    _save("temporal_module3d_vidcond", sd,
+          {"x": x, "cond": cond, "temb": temb}, {"y": y},
+          {"channels": 128, "temb_channels": 24})
+
     # --- full tiny base UNet forward ---
     unet = ref_shim.load_ref("base", "unet")
     torch.manual_seed(8)
