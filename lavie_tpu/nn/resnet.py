@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -113,7 +115,6 @@ class ResnetBlock3DCNN(nn.Module):
         """Gate for the fused GN+SiLU+conv Pallas path
         (kernels/temporal_resblock.py). Disable with LAVIE_TRESBLOCK=0;
         LAVIE_TRESBLOCK=force runs interpret mode off-TPU (tests)."""
-        import os
 
         mode = os.environ.get("LAVIE_TRESBLOCK", "1")
         if mode not in ("1", "force") or self.is_initializing():
@@ -142,7 +143,6 @@ class ResnetBlock3DCNN(nn.Module):
         """Both conv passes as fused Pallas kernels; GN stats outside (XLA
         per-channel reductions), temb folded into conv1's bias, block
         residual folded into conv2's accumulator."""
-        import os
 
         from lavie_tpu.kernels.attention import _on_tpu
         from lavie_tpu.kernels.temporal_resblock import gn_silu_tconv

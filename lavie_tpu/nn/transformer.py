@@ -8,6 +8,8 @@ attention (reference: base/models/attention.py:294-560). That factorization
 
 from __future__ import annotations
 
+import os
+
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -115,7 +117,6 @@ class FeedForward(nn.Module):
 
 
 def _geglu_kernel_enabled(x, dim: int, inner: int) -> bool:
-    import os
 
     if os.environ.get("LAVIE_DISABLE_FLASH") == "1":
         return False
@@ -286,7 +287,6 @@ class BasicTransformerBlock(nn.Module):
         head kernel [proj_in → LN1+attn1 → LN2+attn2] and tail kernel
         [LN3 → GEGLU ff → proj_out → +residual]. Disable with
         LAVIE_CROSS_BLOCK=0."""
-        import os
 
         mode = os.environ.get("LAVIE_CROSS_BLOCK", "1")
         if mode not in ("1", "force"):  # "force" = interpret mode off-TPU (tests)
@@ -331,7 +331,6 @@ class BasicTransformerBlock(nn.Module):
         temporal attention (which needs the frame axis and forces the kernel
         boundary). Numerics match the unfused path to bf16 tolerance; the
         interpret-mode tests (tests/test_cross_block.py) pin fp32 exactness."""
-        import os
 
         from lavie_tpu.kernels.attention import _on_tpu
         from lavie_tpu.kernels.cross_block import (
