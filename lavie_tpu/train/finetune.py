@@ -97,7 +97,13 @@ class LoRAFinetuner:
         self.mapping = mapping
         self.frozen = frozen_params
         self.cfg = config
-        self.schedule = schedule or NoiseSchedule.create()
+        # the fork trains against DDPMScheduler.from_pretrained(SD-1.4) with
+        # NO beta overrides — the saved config's scaled_linear β(0.00085,
+        # 0.012), not the linear sampling schedule from the YAML
+        # (reference: base/pipelines/fine_tuning.py:281)
+        self.schedule = schedule or NoiseSchedule.create(
+            "scaled_linear", 1000, 0.00085, 0.012
+        )
 
         if config.lr_scheduler == "cosine":
             lr = optax.warmup_cosine_decay_schedule(
