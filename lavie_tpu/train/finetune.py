@@ -66,6 +66,9 @@ class FinetuneConfig:
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 1
     min_snr_gamma: Optional[float] = 5.0
+    # DC noise offset on the training gaussians (0 = off, the fork's
+    # default; reference: fine_tuning.py:493-497)
+    noise_offset: float = 0.0
     alignment_loss_weight: float = 0.2
     prediction_type: str = "epsilon"
     # CFG training: probability of blanking the caption
@@ -156,7 +159,7 @@ class LoRAFinetuner:
         images = batch["cond_image"]      # (B, Hc, Wc, 3) CLIP-normalized
 
         b, f, h, w, _ = video.shape
-        enc_key, t_key, n_key = jax.random.split(rng, 3)
+        enc_key, t_key, n_key, off_key = jax.random.split(rng, 4)
 
         # frozen encoders
         mean, logvar = self.vae.apply(
@@ -187,6 +190,13 @@ class LoRAFinetuner:
         # diffusion MSE through the LoRA-merged UNet
         t = jax.random.randint(t_key, (b,), 0, schedule.num_train_timesteps)
         noise = jax.random.normal(n_key, latents.shape, dtype=jnp.float32)
+        if cfg.noise_offset:
+            # per-(sample, frame, channel) DC noise offset (reference:
+            # fine_tuning.py:493-497 — (B, C, F, 1, 1) in NCFHW)
+            noise = noise + cfg.noise_offset * jax.random.normal(
+                off_key, latents.shape[:2] + (1, 1) + latents.shape[-1:],
+                dtype=jnp.float32,
+            )
         noisy = add_noise(schedule, latents, noise, t)
         target = (
             noise if cfg.prediction_type == "epsilon"

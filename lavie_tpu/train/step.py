@@ -57,11 +57,20 @@ def diffusion_loss(
     *,
     prediction_type: str = "epsilon",
     min_snr_gamma: Optional[float] = None,
+    noise_offset: float = 0.0,
 ) -> jnp.ndarray:
     b = latents.shape[0]
-    t_key, n_key = jax.random.split(rng)
+    t_key, n_key, off_key = jax.random.split(rng, 3)
     t = jax.random.randint(t_key, (b,), 0, schedule.num_train_timesteps)
     noise = jax.random.normal(n_key, latents.shape, dtype=latents.dtype)
+    if noise_offset:
+        # per-(sample, frame, channel) DC offset on the training noise —
+        # channels-last analog of the fork's (B, C, F, 1, 1) offset
+        # (reference: base/pipelines/fine_tuning.py:493-497)
+        noise = noise + noise_offset * jax.random.normal(
+            off_key, latents.shape[:2] + (1, 1) + latents.shape[-1:],
+            dtype=latents.dtype,
+        )
     noisy = add_noise(schedule, latents, noise, t)
     target = noise if prediction_type == "epsilon" else get_velocity(schedule, latents, noise, t)
     pred = apply_fn({"params": params}, noisy, t, text_states).astype(jnp.float32)
