@@ -136,7 +136,9 @@ def train(cfg):
     key = jax.random.PRNGKey(2)
     max_steps = cfg.get("max_train_steps") or 10
     epochs = cfg.get("num_train_epochs", 1)
-    drop_p = cfg.get("caption_dropout", 0.1)
+    # default 0: the fork's fine-tuning loop never blanks captions (CFG
+    # caption dropout is the upstream base-training recipe); opt in via YAML
+    drop_p = cfg.get("caption_dropout", 0.0)
     drop_rng = np.random.RandomState(cfg.get("seed") or 0)
     done = False
     for epoch in range(epochs):

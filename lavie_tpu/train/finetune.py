@@ -71,9 +71,9 @@ class FinetuneConfig:
     noise_offset: float = 0.0
     alignment_loss_weight: float = 0.2
     prediction_type: str = "epsilon"
-    # CFG training: probability of blanking the caption
-    # (reference token_drop, base/models/clip.py:70-81)
-    caption_dropout: float = 0.1
+    # NOTE: the fork's fine-tuning loop does NOT drop captions — CFG caption
+    # dropout belongs to the upstream base training recipe and lives in
+    # nn.clip.TextEmbedder/token_drop for that path.
     checkpointing_steps: int = 504
     checkpoints_total_limit: int = 3
 
