@@ -38,7 +38,9 @@ def build_pipeline(cfg: dict) -> VideoInterpolationPipeline:
         video_length=cfg.get("num_frames", 61),
         num_inference_steps=cfg.get("num_sampling_steps", 50),
         guidance_scale=cfg.get("guidance_scale", 4.0),
-        sample_method="ddim",
+        # reference key: use_ddim_sample_loop False -> p_sample_loop (DDPM
+        # FIXED_LARGE on the spaced chain, interpolation/sample.py:118-126)
+        sample_method="ddim" if cfg.get("use_ddim_sample_loop", True) else "ddpm",
     )
     pipe = VideoInterpolationPipeline.init_random(
         jax.random.PRNGKey(cfg.get("seed") or 0),

@@ -29,6 +29,7 @@ from lavie_tpu.diffusion import NoiseSchedule
 from lavie_tpu.diffusion.samplers import (
     classifier_free_guidance,
     ddim_step,
+    ddpm_step,
     spaced_timesteps,
 )
 from lavie_tpu.io.tokenizer import CLIPTokenizer
@@ -142,6 +143,7 @@ class VideoInterpolationPipeline:
         scaling = self.vae_config.scaling_factor
         dtype = self.dtype
         schedule = self.schedule
+        method = self.sampling.sample_method
         unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
 
         ts, pts = spaced_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
@@ -201,6 +203,10 @@ class VideoInterpolationPipeline:
             extra_2 = jnp.concatenate([extra, extra], axis=0).astype(dtype)
 
             x = init_noise
+            # DDPM ancestral noise (use_ddim_sample_loop: False — FIXED_LARGE
+            # p_sample on the spaced chain, interpolation/sample.py:124-126);
+            # per-step keys derive from the timestep so no carry is needed
+            noise_key = jax.random.fold_in(sample_rng, 7)
 
             def body(x, tp):
                 t, pt = tp
@@ -213,7 +219,14 @@ class VideoInterpolationPipeline:
                     text_states,
                 ).astype(jnp.float32)
                 eps = classifier_free_guidance(pred, guidance_scale)
-                x = ddim_step(schedule, x, eps, t, pt)
+                if method == "ddpm":
+                    noise = jax.random.normal(
+                        jax.random.fold_in(noise_key, t), x.shape, jnp.float32
+                    )
+                    x = ddpm_step(schedule, x, eps, t, pt, noise,
+                                  variance_type="fixed_large")
+                else:
+                    x = ddim_step(schedule, x, eps, t, pt)
                 return x, None
 
             x, _ = jax.lax.scan(body, x.astype(jnp.float32), (ts_arr, pts_arr))
@@ -251,6 +264,7 @@ class VideoInterpolationPipeline:
         scaling = self.vae_config.scaling_factor
         dtype = self.dtype
         schedule = self.schedule
+        method = self.sampling.sample_method
         unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
 
         ts, pts = spaced_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
@@ -292,7 +306,7 @@ class VideoInterpolationPipeline:
             return text_states, jnp.concatenate([extra, extra], axis=0).astype(dtype)
 
         @jax.jit
-        def step_fn(params, x, text_states, extra_2, t, pt, guidance):
+        def step_fn(params, x, text_states, extra_2, t, pt, guidance, noise_key):
             xin = jnp.concatenate([x, x], axis=0).astype(dtype)
             xin = jnp.concatenate([xin, extra_2], axis=-1)
             pred = unet.apply(
@@ -300,6 +314,12 @@ class VideoInterpolationPipeline:
                 jnp.broadcast_to(t, (2 * batch,)), text_states,
             ).astype(jnp.float32)
             eps = classifier_free_guidance(pred, guidance)
+            if method == "ddpm":
+                noise = jax.random.normal(
+                    jax.random.fold_in(noise_key, t), x.shape, jnp.float32
+                )
+                return ddpm_step(schedule, x, eps, t, pt, noise,
+                                 variance_type="fixed_large")
             return ddim_step(schedule, x, eps, t, pt)
 
         @jax.jit
@@ -329,9 +349,11 @@ class VideoInterpolationPipeline:
             else:
                 text_states, extra_2 = prep_fn(params, token_ids, frames, sample_rng)
             x = init_noise.astype(jnp.float32)
+            noise_key = jax.random.fold_in(sample_rng, 7)
             for i in range(len(ts)):
                 x = step_fn(params, x, text_states, extra_2,
-                            jnp.int32(int(ts[i])), jnp.int32(int(pts[i])), guidance)
+                            jnp.int32(int(ts[i])), jnp.int32(int(pts[i])),
+                            guidance, noise_key)
             return decode_fn(params, x)
 
         return sample_fn

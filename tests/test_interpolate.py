@@ -136,3 +136,53 @@ class TestPythonLoopModeTSR:
         finally:
             tiny_tsr.loop_mode = "scan"
         np.testing.assert_array_equal(out, ref)
+
+
+class TestDDPMSampleLoop:
+    def test_ddpm_mode_runs_and_differs_from_ddim(self, tiny_tsr_factory=None):
+        """use_ddim_sample_loop: False → ancestral p_sample (FIXED_LARGE) on
+        the spaced chain (reference: interpolation/sample.py:124-126).
+        Stepper parity vs the reference file is proven in
+        test_ref_parity.py::TestOpenAIDiffusionParity; this exercises the
+        pipeline wiring (per-step fold_in noise, scan + python loop modes)."""
+        import dataclasses
+
+        from lavie_tpu.core.config import (
+            CLIPTextConfig,
+            SamplingConfig,
+            UNetConfig,
+            VAEConfig,
+        )
+        from lavie_tpu.pipelines import VideoInterpolationPipeline
+
+        def make(method):
+            return VideoInterpolationPipeline.init_random(
+                jax.random.PRNGKey(0),
+                unet_config=UNetConfig.interpolation().tiny(),
+                vae_config=VAEConfig.sd().tiny(),
+                text_config=CLIPTextConfig.vit_l().tiny(),
+                sampling=SamplingConfig(
+                    video_length=9, num_inference_steps=2, guidance_scale=4.0,
+                    sample_method=method, clip_sample=False,
+                ),
+            )
+
+        video_in = (np.random.RandomState(0).rand(3, 64, 64, 3) * 255).astype(np.uint8)
+        ddpm_pipe = make("ddpm")
+        a = ddpm_pipe(video_in, "x", out_frames=9, seed=3).video
+        b = ddpm_pipe(video_in, "x", out_frames=9, seed=3).video
+        np.testing.assert_array_equal(a, b)  # deterministic under a seed
+
+        ddim_pipe = make("ddim")
+        c = ddim_pipe(video_in, "x", out_frames=9, seed=3).video
+        assert a.shape == c.shape == (1, 9, 64, 64, 3)
+        assert np.abs(a.astype(int) - c.astype(int)).max() > 0
+
+        # python loop mode matches the scanned program
+        ddpm_pipe.loop_mode = "python"
+        try:
+            d = ddpm_pipe(video_in, "x", out_frames=9, seed=3).video
+        finally:
+            ddpm_pipe.loop_mode = "scan"
+        diff = np.abs(d.astype(int) - a.astype(int))
+        assert diff.max() <= 2 and (diff > 0).mean() < 0.01
