@@ -144,6 +144,160 @@ def _kernel(x_ref, wa_ref, ua_ref, wc_ref, bo_ref, *rest, frames, ktaps,
             s2_ref[0] = s2_ref[0] + loc2
 
 
+def _kernel_sfc(x_ref, wa_ref, ua_ref, wc_ref, bo_ref, *rest, frames, ktaps,
+                cin, cout, with_res, activation, emit_stats):
+    """Token-major variant: blocks are (blk, F·C) with frames as lane
+    slices. Same math as _kernel; the block's rows are S-contiguous so the
+    HBM slab is contiguous in the (B, S, F, C) row-major layout — which is
+    bit-identical to XLA's conv layout for (B, F, H, W, C) activations
+    ({4,1,3,2,0}: memory order (H, W, F, C)), making the kernel boundary a
+    bitcast instead of a 2–4 ms transpose copy at the VSR L0 level."""
+    rest = list(rest)
+    res_ref = rest.pop(0) if with_res else None
+    o_ref = rest.pop(0)
+    s1_ref = rest.pop(0) if emit_stats else None
+    s2_ref = rest.pop(0) if emit_stats else None
+    x = x_ref[0]  # (blk, F·C)
+    pad = ktaps // 2
+    f32 = jnp.float32
+    if activation == "none":
+        xn = [x[:, u * cin:(u + 1) * cin] for u in range(frames)]
+    else:
+        wa = wa_ref[0].astype(x.dtype)  # (1, C)
+        ua = ua_ref[0].astype(x.dtype)
+        xn = [
+            _silu(((x[:, u * cin:(u + 1) * cin]) * wa + ua).astype(f32)).astype(x.dtype)
+            for u in range(frames)
+        ]
+    bo = bo_ref[0]  # (1, O) fp32
+    if emit_stats:
+        ones = jnp.ones((1, x.shape[0]), f32)
+        loc1 = jnp.zeros((1, cout), f32)
+        loc2 = jnp.zeros((1, cout), f32)
+    for f in range(frames):
+        acc = jnp.broadcast_to(bo, (x.shape[0], cout)).astype(f32)
+        for j in range(ktaps):
+            u = f + j - pad
+            if 0 <= u < frames:
+                acc = acc + jax.lax.dot_general(
+                    xn[u], wc_ref[j],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+        if with_res:
+            acc = acc + res_ref[0][:, f * cout:(f + 1) * cout].astype(f32)
+        out = acc.astype(o_ref.dtype)
+        o_ref[0, :, f * cout:(f + 1) * cout] = out
+        if emit_stats:
+            of = out.astype(f32)
+            loc1 = loc1 + jax.lax.dot_general(
+                ones, of, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )
+            loc2 = loc2 + jax.lax.dot_general(
+                ones, of * of, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+    if emit_stats:
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            s1_ref[0] = loc1
+            s2_ref[0] = loc2
+
+        @pl.when(pl.program_id(1) != 0)
+        def _acc():
+            s1_ref[0] = s1_ref[0] + loc1
+            s2_ref[0] = s2_ref[0] + loc2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frames", "ktaps", "with_res", "activation",
+                     "emit_stats", "interpret"),
+)
+def _conv_sfc(x, wa, ua, wc, bo, res, frames, ktaps, with_res, activation,
+              emit_stats, interpret):
+    """x: (B, S, F·C) token-major. Returns (B, S, F·O) (+ stats)."""
+    b, s, fc = x.shape
+    cin = fc // frames
+    cout = wc.shape[-1]
+    blk = _pick_block(s, frames, cin, cout, ktaps, with_res,
+                      jnp.dtype(x.dtype).itemsize)
+    w_spec = lambda shape: pl.BlockSpec(shape, lambda bb, i: (0,) * len(shape))
+    in_specs = [
+        pl.BlockSpec((1, blk, fc), lambda bb, i: (bb, i, 0)),
+        pl.BlockSpec((1, 1, cin), lambda bb, i: (bb, 0, 0)),
+        pl.BlockSpec((1, 1, cin), lambda bb, i: (bb, 0, 0)),
+        w_spec((ktaps, cin, cout)),
+        pl.BlockSpec((1, 1, cout), lambda bb, i: (bb, 0, 0)),
+    ]
+    args = [x, wa[:, None], ua[:, None], wc, bo[:, None]]
+    if with_res:
+        in_specs.append(pl.BlockSpec((1, blk, frames * cout), lambda bb, i: (bb, i, 0)))
+        args.append(res)
+    out_specs = [pl.BlockSpec((1, blk, frames * cout), lambda bb, i: (bb, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b, s, frames * cout), x.dtype)]
+    if emit_stats:
+        out_specs += [pl.BlockSpec((1, 1, cout), lambda bb, i: (bb, 0, 0))] * 2
+        out_shape += [jax.ShapeDtypeStruct((b, 1, cout), jnp.float32)] * 2
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_sfc, frames=frames, ktaps=ktaps, cin=cin, cout=cout,
+            with_res=with_res, activation=activation, emit_stats=emit_stats,
+        ),
+        grid=(b, s // blk),
+        in_specs=in_specs,
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shape if emit_stats else out_shape[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    if emit_stats:
+        y, s1, s2 = out
+        return y, s1[:, 0], s2[:, 0]
+    return out
+
+
+def gn_silu_tconv_sfc(
+    x: jnp.ndarray,        # (B, S, F, C) token-major video activation
+    wa: jnp.ndarray | None,  # (B, C) folded GN affine scale
+    ua: jnp.ndarray | None,  # (B, C) folded GN affine shift
+    conv_w: jnp.ndarray,   # (k, C, O) temporal conv taps
+    out_bias: jnp.ndarray, # (B, O) conv bias (+ folded temb), fp32
+    residual: jnp.ndarray | None = None,  # (B, S, F, O)
+    *,
+    activation: str = "silu",
+    emit_stats: bool = False,
+    interpret: bool = False,
+):
+    """gn_silu_tconv on the token-major (B, S, F, C) view. The (B,S,F,C)
+    row-major layout matches XLA's conv layout for the same data as
+    (B,F,H,W,C), so callers sitting between convolutions reach this kernel
+    through bitcasts (see nn/resnet.py ResnetBlock3DCNN._fused 5D path)."""
+    b, s, frames, c = x.shape
+    ktaps = conv_w.shape[0]
+    dt = x.dtype
+    if wa is None:
+        wa = jnp.ones((b, c), jnp.float32)
+        ua = jnp.zeros((b, c), jnp.float32)
+    res = (
+        residual.reshape(b, s, -1) if residual is not None
+        else jnp.zeros((), dt)
+    )
+    out = _conv_sfc(
+        x.reshape(b, s, frames * c), wa.astype(jnp.float32),
+        ua.astype(jnp.float32), conv_w.astype(dt),
+        out_bias.astype(jnp.float32), res,
+        frames, ktaps, residual is not None, activation, emit_stats, interpret,
+    )
+    cout = conv_w.shape[-1]
+    if emit_stats:
+        y, s1, s2 = out
+        return y.reshape(b, s, frames, cout), s1, s2
+    return out.reshape(b, s, frames, cout)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("frames", "ktaps", "with_res", "activation",

@@ -42,11 +42,15 @@ def groupnorm_affine(
     C minor — see _GroupNormCore for why the layout matters); the tiny (B, C)
     stats fold channels→groups exactly. Lets fused kernels apply GN as a
     multiply-add (kernels/temporal_resblock.py)."""
-    c = x.shape[-1]
-    b = x.shape[0]
-    xf = x.reshape(b, -1, c)
-    s1 = jnp.mean(xf, axis=1, dtype=jnp.float32)  # (B, C)
-    s2 = jnp.mean(jnp.square(xf.astype(jnp.float32)), axis=1, dtype=jnp.float32)
+    # Reduce over all-but-(B, C) axes WITHOUT reshaping: a (b, -1, c) reshape
+    # is only free on row-major layouts, so on a conv-layout producer
+    # ({4,1,3,2,0} NHWC with the frame axis tucked inside H/W) XLA had to
+    # materialize a transposed copy of the whole activation just to feed the
+    # stats reduce — measured ~2 ms per call at the VSR L0 level. An axis
+    # reduction fuses with the producer in whatever layout it already has.
+    axes = tuple(range(1, x.ndim - 1))
+    s1 = jnp.mean(x, axis=axes, dtype=jnp.float32)  # (B, C)
+    s2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes, dtype=jnp.float32)
     return groupnorm_affine_from_moments(s1, s2, scale, bias, num_groups, epsilon)
 
 

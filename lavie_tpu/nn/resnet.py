@@ -145,7 +145,10 @@ class ResnetBlock3DCNN(nn.Module):
         residual folded into conv2's accumulator."""
 
         from lavie_tpu.kernels.attention import _on_tpu
-        from lavie_tpu.kernels.temporal_resblock import gn_silu_tconv
+        from lavie_tpu.kernels.temporal_resblock import (
+            gn_silu_tconv,
+            gn_silu_tconv_sfc,
+        )
         from lavie_tpu.nn.layers import (
             groupnorm_affine,
             groupnorm_affine_from_moments,
@@ -156,7 +159,21 @@ class ResnetBlock3DCNN(nn.Module):
         p = self.variables["params"]
         shape = x.shape
         b, frames = shape[0], shape[1]
-        v = x.reshape(b, frames, -1, shape[-1])
+        if x.ndim == 5:
+            # token-major (B, S, F, C) view: row-major over these axes is
+            # bit-identical to XLA's conv layout for (B, F, H, W, C)
+            # activations (memory order (H, W, F, C)), so the transposes at
+            # BOTH kernel boundaries become bitcasts when the producer and
+            # consumer are convolutions (the TemporalModule3D placement) —
+            # vs ~2-4 ms transpose copies per boundary at the VSR L0 level
+            # for the frame-major reshape.
+            v = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(
+                b, shape[2] * shape[3], frames, shape[-1]
+            )
+            conv_fn = gn_silu_tconv_sfc
+        else:
+            v = x.reshape(b, frames, -1, shape[-1])
+            conv_fn = gn_silu_tconv
 
         n1 = p["norm1"]["norm"]
         w1, u1 = groupnorm_affine(v, n1["scale"], n1["bias"], self.groups, self.eps)
@@ -180,7 +197,7 @@ class ResnetBlock3DCNN(nn.Module):
         # the math).
         n2 = p["norm2"]["norm"]
         if os.environ.get("LAVIE_TRESBLOCK_STATS") == "1":
-            h, hs1, hs2 = gn_silu_tconv(
+            h, hs1, hs2 = conv_fn(
                 v, w1, u1, c1["kernel"][:, 0], bias1, emit_stats=True,
                 interpret=interpret,
             )
@@ -190,7 +207,7 @@ class ResnetBlock3DCNN(nn.Module):
                 self.groups, self.eps,
             )
         else:
-            h = gn_silu_tconv(
+            h = conv_fn(
                 v, w1, u1, c1["kernel"][:, 0], bias1, interpret=interpret
             )
             w2, u2 = groupnorm_affine(
@@ -198,9 +215,14 @@ class ResnetBlock3DCNN(nn.Module):
             )
         c2 = p["conv2"]["conv"]
         bias2 = jnp.broadcast_to(c2["bias"][None].astype(jnp.float32), (b, out_ch))
-        y = gn_silu_tconv(
+        y = conv_fn(
             h, w2, u2, c2["kernel"][:, 0], bias2, residual=v, interpret=interpret
         )
+        if x.ndim == 5:
+            return jnp.transpose(
+                y.reshape(b, shape[2], shape[3], frames, out_ch),
+                (0, 3, 1, 2, 4),
+            )
         return y.reshape(shape[:-1] + (out_ch,))
 
     @nn.compact
@@ -209,6 +231,20 @@ class ResnetBlock3DCNN(nn.Module):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         if self._fused_kernel_ok(x):
             return self._fused(x, temb)
+        # XLA-fallback layout gate (moved from TemporalModule3D): the
+        # flattened (B, F, H·W, C) form routes TemporalConv to the
+        # layout-robust GEMM-shift — XLA gives the 5D conv form a degenerate
+        # T(2,128) layout when a neighbor is a Pallas custom call (measured
+        # 22 TF/s at the VSR L1 level vs ~175 for the GEMM form) — but the
+        # GEMM form materializes a k×-wide intermediate, so gate it to
+        # levels where that fits (≤ ~2 GB; VSR L0 would need 6.7 GB —
+        # measured HBM OOM). Params are shape-independent either way.
+        orig_spatial = None
+        if x.ndim == 5:
+            gemm_bytes = x.size * self.kernel_frames * jnp.dtype(x.dtype).itemsize
+            if gemm_bytes <= 2 * 1024**3:
+                orig_spatial = x.shape[2:4]
+                x = x.reshape(x.shape[0], x.shape[1], -1, x.shape[-1])
         h = GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = TemporalConv(out_ch, self.kernel_frames, name="conv1", **common)(h)
@@ -222,4 +258,7 @@ class ResnetBlock3DCNN(nn.Module):
         h = TemporalConv(out_ch, 3, name="conv2", **common)(h)
         if self.in_channels != out_ch:
             x = TemporalConv(out_ch, 1, name="conv_shortcut", **common)(x)
-        return x + h
+        y = x + h
+        if orig_spatial is not None:
+            y = y.reshape(y.shape[:2] + orig_spatial + (out_ch,))
+        return y

@@ -65,14 +65,11 @@ class TemporalModule3D(nn.Module):
     ) -> jnp.ndarray:
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         # The temporal 3D-CNN resnet can run on the flattened (B, F, H·W, C)
-        # form — the (k,1,1) taps are spatially 1×1 — which routes
-        # TemporalConv to the layout-robust GEMM-shift: XLA's conv layout
-        # assignment gives the 5D form a degenerate T(2,128) layout when a
-        # neighbor is a Pallas custom call (measured 22 TF/s at the VSR L1
-        # level vs ~175 for the GEMM form). But the GEMM form materializes a
-        # k×-wide intermediate, so gate it to levels where that fits
-        # comfortably (≤ ~2 GB; the VSR L0 level would need 6.7 GB —
-        # measured HBM OOM).
+        # form — the (k,1,1) taps are spatially 1×1. The 3D-CNN resnet
+        # receives the 5D form here; its fused Pallas path reads/writes the
+        # token-major view that bitcasts to the surrounding convs' layout,
+        # and its XLA fallback applies the flatten-to-GEMM-shift gate
+        # internally — see ResnetBlock3DCNN.__call__.
         h_in = x
         in_ch = self.channels
         if self.video_condition:
@@ -90,25 +87,15 @@ class TemporalModule3D(nn.Module):
             h_in = jnp.concatenate([x, hidden_condition], axis=-1)
             in_ch = self.channels + cond_dim
 
-        b_, f_, hh_, ww_, c_ = h_in.shape
-        k_taps = 5
-        itemsize = jnp.dtype(h_in.dtype).itemsize
-        gemm_bytes = b_ * f_ * hh_ * ww_ * k_taps * c_ * itemsize
-        flatten = gemm_bytes <= 2 * 1024**3
-        resblock_t = ResnetBlock3DCNN(
+        h = ResnetBlock3DCNN(
             in_channels=in_ch,
             out_channels=self.channels,
-            kernel_frames=k_taps,
+            kernel_frames=5,
             temb_channels=self.temb_channels,
             groups=self.norm_num_groups,
             name="resblocks_3d_t",
             **common,
-        )
-        if flatten:
-            h = resblock_t(h_in.reshape(b_, f_, hh_ * ww_, c_), temb)
-            h = h.reshape(b_, f_, hh_, ww_, self.channels)
-        else:
-            h = resblock_t(h_in, temb)
+        )(h_in, temb)
         h = ResnetBlock3D(
             in_channels=self.channels,
             out_channels=self.channels,

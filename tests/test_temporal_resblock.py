@@ -132,3 +132,53 @@ def test_supported_gate():
     assert not resblock_conv_supported(8, 40960, 512, 520, 5)  # misaligned
     assert not resblock_conv_supported(8, 40961, 512, 512, 5)  # indivisible
     assert not resblock_conv_supported(64, 40960, 1024, 1024, 5)  # no fit
+
+
+def test_sfc_kernel_matches_frame_major():
+    """Token-major (B,S,F,C) kernel ≡ frame-major (B,F,S,C) kernel on the
+    same data, incl. residual and emit_stats."""
+    from lavie_tpu.kernels.temporal_resblock import gn_silu_tconv_sfc
+
+    b, f, s, c, k = 2, 8, 256, 128, 5
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    x = jax.random.normal(ks[0], (b, f, s, c))
+    res = jax.random.normal(ks[1], (b, f, s, c))
+    gamma = jax.random.normal(ks[2], (c,)) * 0.2 + 1.0
+    beta = jax.random.normal(ks[3], (c,)) * 0.2
+    wc = jax.random.normal(ks[4], (k, c, c)) * c**-0.5
+    bias = jax.random.normal(ks[5], (b, c)) * 0.1
+    wa, ua = groupnorm_affine(x, gamma, beta, 32, 1e-6)
+
+    ref, r1, r2 = gn_silu_tconv(
+        x, wa, ua, wc, bias, residual=res, emit_stats=True, interpret=True
+    )
+    xs = jnp.transpose(x, (0, 2, 1, 3))  # (B, S, F, C)
+    out, s1, s2 = gn_silu_tconv_sfc(
+        xs, wa, ua, wc, bias, residual=jnp.transpose(res, (0, 2, 1, 3)),
+        emit_stats=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(out, (0, 2, 1, 3))), np.asarray(ref),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(r1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(r2), rtol=1e-4)
+
+
+def test_sfc_activation_none():
+    from lavie_tpu.kernels.temporal_resblock import gn_silu_tconv_sfc
+
+    b, f, s, c, k = 1, 4, 128, 128, 3
+    ks = jax.random.split(jax.random.PRNGKey(9), 2)
+    x = jax.random.normal(ks[0], (b, f, s, c))
+    wc = jax.random.normal(ks[1], (k, c, c)) * c**-0.5
+    bias = jnp.zeros((b, c))
+    ref = gn_silu_tconv(x, None, None, wc, bias, activation="none", interpret=True)
+    out = gn_silu_tconv_sfc(
+        jnp.transpose(x, (0, 2, 1, 3)), None, None, wc, bias,
+        activation="none", interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(out, (0, 2, 1, 3))), np.asarray(ref),
+        atol=1e-5, rtol=1e-5,
+    )
