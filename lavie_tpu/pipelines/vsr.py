@@ -275,7 +275,12 @@ class VideoSuperResolutionPipeline:
     def _build_stepwise(self, batch: int, frames: int, height: int, width: int,
                         num_inference_steps: int):
         """Step-level jit variant (loop_mode='python'); same math as the
-        scanned sampler, always split-CFG."""
+        scanned sampler, always split-CFG. loop_mode='hybrid' scans the
+        denoise loop in ONE jitted program (the scan body compiles once, so
+        the remote compiler handles it — unlike the full 'scan' sampler,
+        whose unrolled decode-chunk loop inlines `frames/decode_chunk` VAE
+        decoder copies into a single module) while prep and the per-chunk
+        decode stay separate programs: 200 per-window dispatches → ~10."""
         dtype = self.dtype
         schedule = self.schedule
         scaling = self.vae_config.scaling_factor
@@ -340,18 +345,62 @@ class VideoSuperResolutionPipeline:
             ).astype(jnp.float32)
             return jnp.clip(rgb, -1.0, 1.0)
 
+        ts_arr, pts_arr = jnp.asarray(ts), jnp.asarray(pts)
+
+        @jax.jit
+        def denoise_scan_fn(params, text_states, image_c, x, noise_level, guidance):
+            share_prefix = unet.num_prefix_blocks > 0
+
+            def body(x, tp):
+                t, pt = tp
+                prefix = None
+                if share_prefix:
+                    xin = jnp.concatenate([x.astype(dtype), image_c], axis=-1)
+                    prefix = unet.apply(
+                        {"params": params["unet"]}, xin,
+                        jnp.broadcast_to(t, (batch,)),
+                        jnp.broadcast_to(noise_level, (batch,)),
+                        method=UNet3D.forward_prefix,
+                    )
+
+                def half(text_half):
+                    xin = jnp.concatenate([x.astype(dtype), image_c], axis=-1)
+                    return unet.apply(
+                        {"params": params["unet"]}, xin,
+                        jnp.broadcast_to(t, (batch,)), text_half,
+                        class_labels=jnp.broadcast_to(noise_level, (batch,)),
+                        prefix=prefix,
+                    ).astype(jnp.float32)
+
+                pred_u = half(text_states[:batch])
+                pred_c = half(text_states[batch:])
+                v = pred_u + guidance * (pred_c - pred_u)
+                x = ddim_step(schedule, x, v, t, pt,
+                              prediction_type="v_prediction",
+                              final_alpha_bar=schedule.alphas_cumprod[0])
+                return x, None
+
+            x, _ = jax.lax.scan(body, x, (ts_arr, pts_arr))
+            return x
+
+        hybrid = self.loop_mode == "hybrid"
+
         def sample_fn(params, token_ids, frames_in, noise_level, guidance, key):
             text_states, image_c, x = prep_fn(params, token_ids, frames_in, noise_level, key)
-            share_prefix = unet.num_prefix_blocks > 0
-            for i in range(len(ts)):
-                t = jnp.int32(int(ts[i]))
-                prefix = (
-                    prefix_fn(params, x, image_c, t, noise_level)
-                    if share_prefix else None
-                )
-                pred_u = step_half(params, x, image_c, text_states[:batch], t, noise_level, prefix)
-                pred_c = step_half(params, x, image_c, text_states[batch:], t, noise_level, prefix)
-                x = combine_fn(x, pred_u, pred_c, t, jnp.int32(int(pts[i])), guidance)
+            if hybrid:
+                x = denoise_scan_fn(params, text_states, image_c, x,
+                                    noise_level, guidance)
+            else:
+                share_prefix = unet.num_prefix_blocks > 0
+                for i in range(len(ts)):
+                    t = jnp.int32(int(ts[i]))
+                    prefix = (
+                        prefix_fn(params, x, image_c, t, noise_level)
+                        if share_prefix else None
+                    )
+                    pred_u = step_half(params, x, image_c, text_states[:batch], t, noise_level, prefix)
+                    pred_c = step_half(params, x, image_c, text_states[batch:], t, noise_level, prefix)
+                    x = combine_fn(x, pred_u, pred_c, t, jnp.int32(int(pts[i])), guidance)
             z = x / scaling  # (B, F, h, w, 4)
             outs = []
             for i in range(0, frames, decode_chunk):
@@ -421,7 +470,9 @@ class VideoSuperResolutionPipeline:
             cache_key = (bsz, win, height, width, steps, self.loop_mode)
             if cache_key not in self._compiled:
                 builder = (
-                    self._build_stepwise if self.loop_mode == "python" else self._build_sampler
+                    self._build_stepwise
+                    if self.loop_mode in ("python", "hybrid")
+                    else self._build_sampler
                 )
                 self._compiled[cache_key] = builder(bsz, win, height, width, steps)
             token_ids = jnp.asarray(

@@ -133,6 +133,20 @@ class TestPythonLoopModeVSR:
         diff = np.abs(out.astype(int) - ref.astype(int))
         assert diff.max() <= 2 and (diff > 0).mean() < 0.01
 
+    def test_hybrid_matches_python(self, tiny_vsr):
+        """'hybrid' scans the denoise loop in one program but keeps prep and
+        per-chunk decode as separate programs; the denoise math is the same
+        fp32 stepper, so vs the python loop the output is bit-identical."""
+        video_in = (np.random.RandomState(9).rand(2, 32, 32, 3) * 255).astype(np.uint8)
+        tiny_vsr.loop_mode = "python"
+        try:
+            ref = tiny_vsr(video_in, "x", num_inference_steps=3, seed=11).video
+            tiny_vsr.loop_mode = "hybrid"
+            out = tiny_vsr(video_in, "x", num_inference_steps=3, seed=11).video
+        finally:
+            tiny_vsr.loop_mode = "scan"
+        np.testing.assert_array_equal(out, ref)
+
 
 class TestVSRWithVersatileAttention:
     def test_unet_with_attention_temporal_modules(self):
