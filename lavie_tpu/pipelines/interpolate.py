@@ -305,8 +305,7 @@ class VideoInterpolationPipeline:
                 extra = jnp.take(z, cond_from_key, axis=1)
             return text_states, jnp.concatenate([extra, extra], axis=0).astype(dtype)
 
-        @jax.jit
-        def step_fn(params, x, text_states, extra_2, t, pt, guidance, noise_key):
+        def _step(params, x, text_states, extra_2, t, pt, guidance, noise_key):
             xin = jnp.concatenate([x, x], axis=0).astype(dtype)
             xin = jnp.concatenate([xin, extra_2], axis=-1)
             pred = unet.apply(
@@ -321,6 +320,24 @@ class VideoInterpolationPipeline:
                 return ddpm_step(schedule, x, eps, t, pt, noise,
                                  variance_type="fixed_large")
             return ddim_step(schedule, x, eps, t, pt)
+
+        step_fn = jax.jit(_step)
+
+        # loop_mode='hybrid': whole denoise loop as ONE scanned program (body
+        # compiles once); encode and decode stay separate programs.
+        ts_arr = jnp.asarray(ts, jnp.int32)
+        pts_arr = jnp.asarray(pts, jnp.int32)
+
+        @jax.jit
+        def denoise_scan_fn(params, x, text_states, extra_2, guidance, noise_key):
+            def body(x, tp):
+                return _step(params, x, text_states, extra_2, tp[0], tp[1],
+                             guidance, noise_key), None
+
+            x, _ = jax.lax.scan(body, x, (ts_arr, pts_arr))
+            return x
+
+        hybrid = self.loop_mode == "hybrid"
 
         @jax.jit
         def decode_fn(params, x):
@@ -350,10 +367,14 @@ class VideoInterpolationPipeline:
                 text_states, extra_2 = prep_fn(params, token_ids, frames, sample_rng)
             x = init_noise.astype(jnp.float32)
             noise_key = jax.random.fold_in(sample_rng, 7)
-            for i in range(len(ts)):
-                x = step_fn(params, x, text_states, extra_2,
-                            jnp.int32(int(ts[i])), jnp.int32(int(pts[i])),
-                            guidance, noise_key)
+            if hybrid:
+                x = denoise_scan_fn(params, x, text_states, extra_2,
+                                    guidance, noise_key)
+            else:
+                for i in range(len(ts)):
+                    x = step_fn(params, x, text_states, extra_2,
+                                jnp.int32(int(ts[i])), jnp.int32(int(pts[i])),
+                                guidance, noise_key)
             return decode_fn(params, x)
 
         return sample_fn
@@ -435,7 +456,9 @@ class VideoInterpolationPipeline:
                      self.loop_mode)
         if cache_key not in self._compiled:
             builder = (
-                self._build_stepwise if self.loop_mode == "python" else self._build_sampler
+                self._build_stepwise
+                if self.loop_mode in ("python", "hybrid")
+                else self._build_sampler
             )
             self._compiled[cache_key] = builder(
                 b, out_frames, height, width, steps, encode_chunk, use_mask=use_mask

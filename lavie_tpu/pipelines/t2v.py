@@ -395,8 +395,7 @@ class TextToVideoPipeline:
             return classifier_free_guidance(pred, guidance_scale)
 
         if sample_method == "ddpm":
-            @jax.jit
-            def step_fn(params, x, text_states, t, pt, key, guidance):
+            def _step(params, x, text_states, t, pt, key, guidance):
                 eps = unet_eps(params, x, text_states, t, guidance, jnp.float32(1.0))
                 key, sub = jax.random.split(key)
                 noise = jax.random.normal(sub, x.shape, dtype=jnp.float32)
@@ -404,20 +403,56 @@ class TextToVideoPipeline:
                                  prediction_type=prediction_type,
                                  clip_sample=clip_sample), key
         elif sample_method == "ddim":
-            @jax.jit
-            def step_fn(params, x, text_states, t, pt, key, guidance):
+            def _step(params, x, text_states, t, pt, key, guidance):
                 eps = unet_eps(params, x, text_states, t, guidance, jnp.float32(1.0))
                 return ddim_step(schedule, x, eps, t, pt,
                                  prediction_type=prediction_type,
                                  clip_sample=clip_sample,
                                  final_alpha_bar=final_ab), key
         else:
-            @jax.jit
-            def step_fn(params, x, text_states, t, sigma, sigma_next, key, guidance):
+            def _step(params, x, text_states, t, sigma, sigma_next, key, guidance):
                 scale_in = (1.0 / jnp.sqrt(sigma**2 + 1.0)).astype(jnp.float32)
                 eps = unet_eps(params, x, text_states, t, guidance, scale_in)
                 return euler_step(x, eps, sigma, sigma_next,
                                   prediction_type=prediction_type), key
+
+        step_fn = jax.jit(_step)
+
+        # loop_mode='hybrid': the whole denoise loop as ONE scanned program
+        # (body compiles once), text encode and decode stay separate programs
+        # — per-sample dispatches drop from ~steps+2 to 3 with none of the
+        # scan-mode sampler's inlined decode copies.
+        if sample_method in ("ddpm", "ddim"):
+            scan_xs = (jnp.asarray(extras[0], jnp.int32),
+                       jnp.asarray(extras[1], jnp.int32))
+
+            @jax.jit
+            def denoise_scan_fn(params, x, text_states, key, guidance):
+                def body(carry, tp):
+                    x, key = carry
+                    x, key = _step(params, x, text_states, tp[0], tp[1], key, guidance)
+                    return (x, key), None
+
+                (x, key), _ = jax.lax.scan(body, (x, key), scan_xs)
+                return x
+        else:
+            ts_f, sigmas = extras
+            scan_xs = (jnp.asarray(ts_f, jnp.float32),
+                       jnp.asarray(sigmas[:-1], jnp.float32),
+                       jnp.asarray(sigmas[1:], jnp.float32))
+
+            @jax.jit
+            def denoise_scan_fn(params, x, text_states, key, guidance):
+                def body(carry, tss):
+                    x, key = carry
+                    x, key = _step(params, x, text_states, tss[0], tss[1], tss[2],
+                                   key, guidance)
+                    return (x, key), None
+
+                (x, key), _ = jax.lax.scan(body, (x, key), scan_xs)
+                return x
+
+        hybrid = self.loop_mode == "hybrid"
 
         @jax.jit
         def decode_fn(params, x):
@@ -436,7 +471,9 @@ class TextToVideoPipeline:
                 text_states = text_fn(params, token_ids)
             x = (init_noise * init_sigma).astype(jnp.float32)
             key = noise_key
-            if sample_method in ("ddpm", "ddim"):
+            if hybrid:
+                x = denoise_scan_fn(params, x, text_states, key, guidance)
+            elif sample_method in ("ddpm", "ddim"):
                 ts_arr, pts_arr = extras
                 for i in range(num_inference_steps):
                     x, key = step_fn(
@@ -539,7 +576,7 @@ class TextToVideoPipeline:
         cache_key = (batch, video_length, height, width, steps, method,
                      decode_chunk, with_image, self.loop_mode)
         if cache_key not in self._compiled:
-            if self.loop_mode == "python":
+            if self.loop_mode in ("python", "hybrid"):
                 self._compiled[cache_key] = self._build_stepwise(
                     batch, video_length, height, width, steps, method,
                     decode_chunk, with_image,

@@ -372,8 +372,15 @@ class VideoSuperResolutionPipeline:
                         prefix=prefix,
                     ).astype(jnp.float32)
 
-                pred_u = half(text_states[:batch])
-                pred_c = half(text_states[batch:])
+                # lax.map serializes the two CFG halves: as two inline calls
+                # XLA's scheduler interleaves them and both halves' peak
+                # activations coexist → +1.1 GB HBM OOM at the full window
+                # (measured 16.89/15.75 GB). Sequenced, each half reuses the
+                # same buffers, matching the python loop's per-program peak.
+                preds = jax.lax.map(
+                    half, text_states.reshape(2, batch, *text_states.shape[1:])
+                )
+                pred_u, pred_c = preds[0], preds[1]
                 v = pred_u + guidance * (pred_c - pred_u)
                 x = ddim_step(schedule, x, v, t, pt,
                               prediction_type="v_prediction",

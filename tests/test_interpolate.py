@@ -137,6 +137,19 @@ class TestPythonLoopModeTSR:
             tiny_tsr.loop_mode = "scan"
         np.testing.assert_array_equal(out, ref)
 
+    def test_hybrid_matches_python(self, tiny_tsr):
+        """'hybrid' scans the denoise loop in one program; same step math as
+        the python loop → bit-identical output."""
+        video_in = (np.random.RandomState(6).rand(4, 64, 64, 3) * 255).astype(np.uint8)
+        tiny_tsr.loop_mode = "python"
+        try:
+            ref = tiny_tsr(video_in, "x", num_inference_steps=3, out_frames=13, seed=8).video
+            tiny_tsr.loop_mode = "hybrid"
+            out = tiny_tsr(video_in, "x", num_inference_steps=3, out_frames=13, seed=8).video
+        finally:
+            tiny_tsr.loop_mode = "scan"
+        np.testing.assert_array_equal(out, ref)
+
 
 class TestDDPMSampleLoop:
     def test_ddpm_mode_runs_and_differs_from_ddim(self, tiny_tsr_factory=None):

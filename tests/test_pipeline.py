@@ -152,3 +152,25 @@ class TestPythonLoopMode:
             tiny_pipeline.loop_mode = "scan"
         np.testing.assert_array_equal(out, ref)
         assert out_e.shape == ref.shape and out_d.shape == ref.shape
+
+    def test_hybrid_matches_python(self, tiny_pipeline):
+        """'hybrid' scans only the denoise loop (text encode and decode stay
+        separate programs); the step math is shared with the python loop, so
+        all three sampler methods must be bit-identical to it."""
+        tiny_pipeline.loop_mode = "python"
+        try:
+            refs = {
+                m: tiny_pipeline("a cat", num_inference_steps=3, seed=5,
+                                 sample_method=m).video
+                for m in ("ddim", "ddpm", "eulerdiscrete")
+            }
+            tiny_pipeline.loop_mode = "hybrid"
+            outs = {
+                m: tiny_pipeline("a cat", num_inference_steps=3, seed=5,
+                                 sample_method=m).video
+                for m in ("ddim", "ddpm", "eulerdiscrete")
+            }
+        finally:
+            tiny_pipeline.loop_mode = "scan"
+        for m in refs:
+            np.testing.assert_array_equal(outs[m], refs[m], err_msg=m)
