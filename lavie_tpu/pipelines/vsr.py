@@ -73,6 +73,7 @@ class VideoSuperResolutionPipeline:
         mesh: Optional[Any] = None,
         split_cfg: bool = True,
         loop_mode: Optional[str] = None,
+        scan_chunk: Optional[int] = None,
         window_batch: int = 1,
         low_res_schedule: Optional[NoiseSchedule] = None,
     ):
@@ -80,6 +81,15 @@ class VideoSuperResolutionPipeline:
 
         # see DESIGN.md: "python" = step-level jit for slow-compile envs
         self.loop_mode = loop_mode or _os.environ.get("LAVIE_LOOP_MODE", "scan")
+        # hybrid mode: denoise steps per scanned dispatch (0 = all in one).
+        # Full-size 50-step programs run ~100 s of device time, which the
+        # remote TPU worker kills; 10-step chunks (~20 s programs) are safe
+        # and one compiled executable serves every chunk.
+        self.scan_chunk = (
+            scan_chunk
+            if scan_chunk is not None
+            else int(_os.environ.get("LAVIE_SCAN_CHUNK", "10"))
+        )
         # split_cfg: evaluate the cond/uncond halves sequentially instead of a
         # doubled batch — same math, half the activation memory. Needed on one
         # v5e chip: the doubled batch at 8×320×512 latents wants 18.8G HBM
@@ -347,8 +357,16 @@ class VideoSuperResolutionPipeline:
 
         ts_arr, pts_arr = jnp.asarray(ts), jnp.asarray(pts)
 
+        # ts/pts enter as ARGUMENTS (not closure constants): the jit caches
+        # on shape, so one compiled executable serves every K-step chunk of
+        # the schedule. Chunking bounds single-program device time — a whole
+        # 50-step full-size scan is a ~100 s program, which the remote TPU
+        # worker's watchdog kills (measured: steps=10 OK, steps=50 crashes
+        # the worker); K=10 chunks keep ~1/10th the dispatches of the python
+        # loop while every program stays ~20 s.
         @jax.jit
-        def denoise_scan_fn(params, text_states, image_c, x, noise_level, guidance):
+        def denoise_scan_fn(params, text_states, image_c, x, ts_c, pts_c,
+                            noise_level, guidance):
             share_prefix = unet.num_prefix_blocks > 0
 
             def body(x, tp):
@@ -387,16 +405,23 @@ class VideoSuperResolutionPipeline:
                               final_alpha_bar=schedule.alphas_cumprod[0])
                 return x, None
 
-            x, _ = jax.lax.scan(body, x, (ts_arr, pts_arr))
+            x, _ = jax.lax.scan(body, x, (ts_c, pts_c))
             return x
 
         hybrid = self.loop_mode == "hybrid"
+        scan_chunk = self.scan_chunk
 
         def sample_fn(params, token_ids, frames_in, noise_level, guidance, key):
             text_states, image_c, x = prep_fn(params, token_ids, frames_in, noise_level, key)
             if hybrid:
-                x = denoise_scan_fn(params, text_states, image_c, x,
-                                    noise_level, guidance)
+                n = len(ts)
+                k = scan_chunk if scan_chunk > 0 else n
+                for i in range(0, n, k):
+                    x = denoise_scan_fn(
+                        params, text_states, image_c, x,
+                        ts_arr[i : i + k], pts_arr[i : i + k],
+                        noise_level, guidance,
+                    )
             else:
                 share_prefix = unet.num_prefix_blocks > 0
                 for i in range(len(ts)):
@@ -474,7 +499,8 @@ class VideoSuperResolutionPipeline:
             while len(batch_chunks) < group:  # pad the window batch for dp
                 batch_chunks.append(batch_chunks[-1])
             bsz = len(batch_chunks)
-            cache_key = (bsz, win, height, width, steps, self.loop_mode)
+            cache_key = (bsz, win, height, width, steps, self.loop_mode,
+                         self.scan_chunk)
             if cache_key not in self._compiled:
                 builder = (
                     self._build_stepwise

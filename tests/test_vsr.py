@@ -134,17 +134,21 @@ class TestPythonLoopModeVSR:
         assert diff.max() <= 2 and (diff > 0).mean() < 0.01
 
     def test_hybrid_matches_python(self, tiny_vsr):
-        """'hybrid' scans the denoise loop in one program but keeps prep and
-        per-chunk decode as separate programs; the denoise math is the same
-        fp32 stepper, so vs the python loop the output is bit-identical."""
+        """'hybrid' scans the denoise loop in K-step chunks (one compiled
+        program re-dispatched) but keeps prep and per-chunk decode as separate
+        programs; the denoise math is the same fp32 stepper, so vs the python
+        loop the output is bit-identical. scan_chunk=2 over 5 steps exercises
+        chunking incl. the ragged tail chunk."""
         video_in = (np.random.RandomState(9).rand(2, 32, 32, 3) * 255).astype(np.uint8)
         tiny_vsr.loop_mode = "python"
         try:
-            ref = tiny_vsr(video_in, "x", num_inference_steps=3, seed=11).video
+            ref = tiny_vsr(video_in, "x", num_inference_steps=5, seed=11).video
             tiny_vsr.loop_mode = "hybrid"
-            out = tiny_vsr(video_in, "x", num_inference_steps=3, seed=11).video
+            tiny_vsr.scan_chunk = 2
+            out = tiny_vsr(video_in, "x", num_inference_steps=5, seed=11).video
         finally:
             tiny_vsr.loop_mode = "scan"
+            tiny_vsr.scan_chunk = 10
         np.testing.assert_array_equal(out, ref)
 
 
