@@ -80,6 +80,10 @@ class VideoInterpolationPipeline:
 
         # see DESIGN.md: "python" = step-level jit for slow-compile envs
         self.loop_mode = _os.environ.get("LAVIE_LOOP_MODE", "scan")
+        # hybrid: denoise steps per scanned dispatch (0 = all in one program).
+        # The remote TPU worker kills single programs past ~100 s of device
+        # time; the TSR 50-step scan is ~63 s — chunking keeps margin.
+        self.scan_chunk = int(_os.environ.get("LAVIE_SCAN_CHUNK", "10"))
         assert unet_config.in_channels in (8, 9), "TSR UNet takes 8 (or 9) channels"
         self.unet_config = unet_config
         self.vae_config = vae_config
@@ -323,21 +327,26 @@ class VideoInterpolationPipeline:
 
         step_fn = jax.jit(_step)
 
-        # loop_mode='hybrid': whole denoise loop as ONE scanned program (body
-        # compiles once); encode and decode stay separate programs.
+        # loop_mode='hybrid': denoise loop as scanned K-step chunk programs
+        # (ts/pts enter as traced ARGUMENTS so one compiled executable serves
+        # every chunk); encode and decode stay separate programs. Chunking
+        # bounds single-program device time — the remote worker kills ~100 s
+        # programs (measured on VSR), and the TSR 50-step scan is ~63 s.
         ts_arr = jnp.asarray(ts, jnp.int32)
         pts_arr = jnp.asarray(pts, jnp.int32)
 
         @jax.jit
-        def denoise_scan_fn(params, x, text_states, extra_2, guidance, noise_key):
+        def denoise_scan_fn(params, x, text_states, extra_2, ts_c, pts_c,
+                            guidance, noise_key):
             def body(x, tp):
                 return _step(params, x, text_states, extra_2, tp[0], tp[1],
                              guidance, noise_key), None
 
-            x, _ = jax.lax.scan(body, x, (ts_arr, pts_arr))
+            x, _ = jax.lax.scan(body, x, (ts_c, pts_c))
             return x
 
         hybrid = self.loop_mode == "hybrid"
+        scan_chunk = self.scan_chunk
 
         @jax.jit
         def decode_fn(params, x):
@@ -368,8 +377,12 @@ class VideoInterpolationPipeline:
             x = init_noise.astype(jnp.float32)
             noise_key = jax.random.fold_in(sample_rng, 7)
             if hybrid:
-                x = denoise_scan_fn(params, x, text_states, extra_2,
-                                    guidance, noise_key)
+                n = len(ts)
+                k = scan_chunk if scan_chunk > 0 else n
+                for i in range(0, n, k):
+                    x = denoise_scan_fn(params, x, text_states, extra_2,
+                                        ts_arr[i : i + k], pts_arr[i : i + k],
+                                        guidance, noise_key)
             else:
                 for i in range(len(ts)):
                     x = step_fn(params, x, text_states, extra_2,
@@ -453,7 +466,7 @@ class VideoInterpolationPipeline:
             )
 
         cache_key = (b, out_frames, height, width, steps, encode_chunk, use_mask,
-                     self.loop_mode)
+                     self.loop_mode, self.scan_chunk)
         if cache_key not in self._compiled:
             builder = (
                 self._build_stepwise

@@ -79,6 +79,9 @@ class TextToVideoPipeline:
         import os as _os
 
         self.loop_mode = _os.environ.get("LAVIE_LOOP_MODE", "scan")
+        # hybrid: denoise steps per scanned dispatch (0 = all in one program);
+        # bounds single-program device time (see DESIGN.md).
+        self.scan_chunk = int(_os.environ.get("LAVIE_SCAN_CHUNK", "10"))
         self.unet_config = unet_config
         self.vae_config = vae_config
         self.text_config = text_config
@@ -418,23 +421,26 @@ class TextToVideoPipeline:
 
         step_fn = jax.jit(_step)
 
-        # loop_mode='hybrid': the whole denoise loop as ONE scanned program
-        # (body compiles once), text encode and decode stay separate programs
-        # — per-sample dispatches drop from ~steps+2 to 3 with none of the
-        # scan-mode sampler's inlined decode copies.
+        # loop_mode='hybrid': the denoise loop as scanned K-step chunk
+        # programs (the per-chunk timestep tables enter as traced ARGUMENTS so
+        # one compiled executable serves every chunk), text encode and decode
+        # stay separate programs — per-sample dispatches drop from ~steps+2 to
+        # ~steps/K+2 with none of the scan-mode sampler's inlined decode
+        # copies. Chunking bounds single-program device time (the remote TPU
+        # worker kills ~100 s programs — measured on the VSR scan).
         if sample_method in ("ddpm", "ddim"):
             scan_xs = (jnp.asarray(extras[0], jnp.int32),
                        jnp.asarray(extras[1], jnp.int32))
 
             @jax.jit
-            def denoise_scan_fn(params, x, text_states, key, guidance):
+            def denoise_scan_fn(params, x, text_states, key, xs_c, guidance):
                 def body(carry, tp):
                     x, key = carry
                     x, key = _step(params, x, text_states, tp[0], tp[1], key, guidance)
                     return (x, key), None
 
-                (x, key), _ = jax.lax.scan(body, (x, key), scan_xs)
-                return x
+                (x, key), _ = jax.lax.scan(body, (x, key), xs_c)
+                return x, key
         else:
             ts_f, sigmas = extras
             scan_xs = (jnp.asarray(ts_f, jnp.float32),
@@ -442,17 +448,18 @@ class TextToVideoPipeline:
                        jnp.asarray(sigmas[1:], jnp.float32))
 
             @jax.jit
-            def denoise_scan_fn(params, x, text_states, key, guidance):
+            def denoise_scan_fn(params, x, text_states, key, xs_c, guidance):
                 def body(carry, tss):
                     x, key = carry
                     x, key = _step(params, x, text_states, tss[0], tss[1], tss[2],
                                    key, guidance)
                     return (x, key), None
 
-                (x, key), _ = jax.lax.scan(body, (x, key), scan_xs)
-                return x
+                (x, key), _ = jax.lax.scan(body, (x, key), xs_c)
+                return x, key
 
         hybrid = self.loop_mode == "hybrid"
+        scan_chunk = self.scan_chunk
 
         @jax.jit
         def decode_fn(params, x):
@@ -472,7 +479,12 @@ class TextToVideoPipeline:
             x = (init_noise * init_sigma).astype(jnp.float32)
             key = noise_key
             if hybrid:
-                x = denoise_scan_fn(params, x, text_states, key, guidance)
+                n = num_inference_steps
+                k = scan_chunk if scan_chunk > 0 else n
+                for i in range(0, n, k):
+                    xs_c = tuple(a[i : i + k] for a in scan_xs)
+                    x, key = denoise_scan_fn(params, x, text_states, key,
+                                             xs_c, guidance)
             elif sample_method in ("ddpm", "ddim"):
                 ts_arr, pts_arr = extras
                 for i in range(num_inference_steps):
@@ -574,7 +586,7 @@ class TextToVideoPipeline:
             img = jnp.asarray(np.broadcast_to(img, (batch,) + img.shape[1:]))
 
         cache_key = (batch, video_length, height, width, steps, method,
-                     decode_chunk, with_image, self.loop_mode)
+                     decode_chunk, with_image, self.loop_mode, self.scan_chunk)
         if cache_key not in self._compiled:
             if self.loop_mode in ("python", "hybrid"):
                 self._compiled[cache_key] = self._build_stepwise(

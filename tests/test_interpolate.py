@@ -138,16 +138,20 @@ class TestPythonLoopModeTSR:
         np.testing.assert_array_equal(out, ref)
 
     def test_hybrid_matches_python(self, tiny_tsr):
-        """'hybrid' scans the denoise loop in one program; same step math as
-        the python loop → bit-identical output."""
+        """'hybrid' scans the denoise loop in K-step chunks (one compiled
+        program re-dispatched); same step math as the python loop →
+        bit-identical output. scan_chunk=2 over 5 steps exercises chunking
+        incl. the ragged tail chunk."""
         video_in = (np.random.RandomState(6).rand(4, 64, 64, 3) * 255).astype(np.uint8)
         tiny_tsr.loop_mode = "python"
         try:
-            ref = tiny_tsr(video_in, "x", num_inference_steps=3, out_frames=13, seed=8).video
+            ref = tiny_tsr(video_in, "x", num_inference_steps=5, out_frames=13, seed=8).video
             tiny_tsr.loop_mode = "hybrid"
-            out = tiny_tsr(video_in, "x", num_inference_steps=3, out_frames=13, seed=8).video
+            tiny_tsr.scan_chunk = 2
+            out = tiny_tsr(video_in, "x", num_inference_steps=5, out_frames=13, seed=8).video
         finally:
             tiny_tsr.loop_mode = "scan"
+            tiny_tsr.scan_chunk = 10
         np.testing.assert_array_equal(out, ref)
 
 

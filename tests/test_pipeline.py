@@ -154,23 +154,27 @@ class TestPythonLoopMode:
         assert out_e.shape == ref.shape and out_d.shape == ref.shape
 
     def test_hybrid_matches_python(self, tiny_pipeline):
-        """'hybrid' scans only the denoise loop (text encode and decode stay
-        separate programs); the step math is shared with the python loop, so
-        all three sampler methods must be bit-identical to it."""
+        """'hybrid' scans the denoise loop in K-step chunks (text encode and
+        decode stay separate programs); the step math is shared with the
+        python loop, so all three sampler methods must be bit-identical to
+        it. scan_chunk=2 over 5 steps exercises chunking incl. the ragged
+        tail chunk and the PRNG-key carry across chunks (ddpm)."""
         tiny_pipeline.loop_mode = "python"
         try:
             refs = {
-                m: tiny_pipeline("a cat", num_inference_steps=3, seed=5,
+                m: tiny_pipeline("a cat", num_inference_steps=5, seed=5,
                                  sample_method=m).video
                 for m in ("ddim", "ddpm", "eulerdiscrete")
             }
             tiny_pipeline.loop_mode = "hybrid"
+            tiny_pipeline.scan_chunk = 2
             outs = {
-                m: tiny_pipeline("a cat", num_inference_steps=3, seed=5,
+                m: tiny_pipeline("a cat", num_inference_steps=5, seed=5,
                                  sample_method=m).video
                 for m in ("ddim", "ddpm", "eulerdiscrete")
             }
         finally:
             tiny_pipeline.loop_mode = "scan"
+            tiny_pipeline.scan_chunk = 10
         for m in refs:
             np.testing.assert_array_equal(outs[m], refs[m], err_msg=m)
