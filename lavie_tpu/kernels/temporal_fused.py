@@ -211,6 +211,87 @@ def _kernel_v4(
             o_ref[h * d : (h + 1) * d, 0, i, :] = pv[:, 0].astype(o_ref.dtype)
 
 
+def _kernel_v5(
+    q_ref,  # (1, F, Cg, S_blk) — GEMM-NATIVE: channels on SUBLANES
+    k_ref,
+    v_ref,
+    bias_ref,  # (1, F·Hg·F, 128) fp32: rows (i·Hg+h)·F + j
+    qcs_ref,  # (2·F, Cg) fp32: [:F] = cos, [F:] = sin (transposed tables)
+    kcs_ref,
+    o_ref,  # (1, F, Cg, S_blk)
+    *,
+    frames: int,
+    heads: int,  # heads in this group (Hg)
+    head_dim: int,
+    rope_dim: int,
+    scale: float,
+):
+    """v5: same math as v4, but the block layout matches the surrounding
+    GEMMs. The projections' MXU output puts the M dim (channels) on
+    SUBLANES — v2/v4's (Cg, 1, F, S) row-major blocks put FRAMES there, so
+    XLA inserts a full q/k/v retiling copy before every call (measured
+    20.5 ms/fwd across the VSR UNet) and re-tiles the output again for the
+    out-projection. v5 takes (1, F, Cg, S) blocks — a free BITCAST of the
+    GEMM layout — swapping the axis roles in-kernel: the d-reduction becomes
+    a sublane halving tree, softmax and the probs·V reduction move to the
+    (cheap) leading frame dim."""
+    f, hg, d = frames, heads, head_dim
+    r, r2 = rope_dim, rope_dim // 2
+
+    def rope_all(ref, h, cs_ref):
+        x = ref[0, :, h * d : (h + 1) * d, :]  # (F, d, S) — sublane slice
+        if r2 == 0:
+            return x.astype(jnp.float32)
+        # minor insertion on the fp32 table, then cast (rope math in the
+        # input dtype — parity with the XLA path / v2 / v4)
+        cos = cs_ref[:f, h * d : (h + 1) * d][:, :, None].astype(x.dtype)
+        sin = cs_ref[f : 2 * f, h * d : (h + 1) * d][:, :, None].astype(x.dtype)
+        parts = [-x[:, r2:r], x[:, :r2]]
+        if d > r:
+            parts.append(x[:, r:])
+        rot = jnp.concatenate(parts, axis=1)  # sublane concat, tile-aligned
+        return (x * cos + rot * sin).astype(jnp.float32)
+
+    for h in range(hg):
+        qs = rope_all(q_ref, h, qcs_ref)  # (F, d, S) fp32
+        ks = rope_all(k_ref, h, kcs_ref)
+        vs = v_ref[0, :, h * d : (h + 1) * d, :].astype(jnp.float32)
+        for i in range(f):
+            prod = ks * qs[i : i + 1]  # (F, d, S) — all key frames at once
+            # d-reduction: halving tree on the SUBLANE dim (d power of 2
+            # per the gate; jnp.sum crashes Mosaic)
+            t = prod
+            n = d
+            while n > 1:
+                half = n // 2
+                t = t[:, :half] + t[:, half:n]
+                n = half
+            base = (i * hg + h) * f
+            bias3 = bias_ref[0, base : base + f, 0:1][:, :, None]  # (F,1,1)
+            scores = t * scale + bias3  # (F, 1, S)
+            # softmax over the LEADING frame dim (f power of 2 per the gate)
+            m = scores
+            n = f
+            while n > 1:
+                half = n // 2
+                m = jnp.maximum(m[:half], m[half:n])
+                n = half
+            e = jnp.exp(scores - m)
+            den = e
+            n = f
+            while n > 1:
+                half = n // 2
+                den = den[:half] + den[half:n]
+                n = half
+            pv = vs * (e * (1.0 / den))  # (F, d, S): sublane broadcast
+            n = f
+            while n > 1:
+                half = n // 2
+                pv = pv[:half] + pv[half:n]
+                n = half
+            o_ref[0, i, h * d : (h + 1) * d, :] = pv[0].astype(o_ref.dtype)
+
+
 def pick_layout(c: int, frames: int, s: int, heads: int):
     """Choose (lane block, heads per group). Lane blocks must be ≥128; wide
     channel counts split the head axis over a third grid dim instead of
@@ -312,6 +393,40 @@ def _temporal_cmajor(q, k, v, bias_rows, cs, *, frames, heads, head_dim,
     groups = heads // hg
     grid = (b, s // blk, groups)
     n_g = bias_rows.shape[1]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel"),
+    )
+    if version == 5:
+        # GEMM-native operand order: (B, F, C, S) row-major is the PHYSICAL
+        # layout the projections' MXU output already has (M=C on sublanes,
+        # N=S on lanes), so these transposes layout-assign to bitcasts and
+        # the v2/v4 boundary retiling copies disappear.
+        qt = jnp.transpose(q, (1, 2, 0, 3))
+        kt = jnp.transpose(k, (1, 2, 0, 3))
+        vt = jnp.transpose(v, (1, 2, 0, 3))
+        spec5 = pl.BlockSpec((1, f, cg, blk), lambda b, i, g: (b, 0, g, i))
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_v5, frames=frames, heads=hg, head_dim=head_dim,
+                rope_dim=rope_dim, scale=scale,
+            ),
+            grid=grid,
+            in_specs=[
+                spec5,
+                spec5,
+                spec5,
+                pl.BlockSpec((1, n_g, 128), lambda b, i, g: (g, 0, 0)),
+                pl.BlockSpec((2 * f, cg), lambda b, i, g: (0, g)),
+                pl.BlockSpec((2 * f, cg), lambda b, i, g: (0, g)),
+            ],
+            out_specs=spec5,
+            out_shape=jax.ShapeDtypeStruct((b, f, c, s), q.dtype),
+            compiler_params=params,
+            interpret=interpret,
+        )(qt, kt, vt, bias_rows, cs.T, cs.T)
+        # back to the (C,B,F,S) contract — also a bitcast, and the
+        # out-projection reads its K dim off sublanes GEMM-natively
+        return jnp.transpose(out, (2, 0, 1, 3))
     qkv_spec = pl.BlockSpec((cg, 1, f, blk), lambda b, i, g: (g, b, 0, i))
     body = _kernel_v4 if version == 4 else _kernel
     return pl.pallas_call(
@@ -330,9 +445,7 @@ def _temporal_cmajor(q, k, v, bias_rows, cs, *, frames, heads, head_dim,
         ],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((c, b, f, s), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
-        ),
+        compiler_params=params,
         interpret=interpret,
     )(q, k, v, bias_rows, cs, cs)
 
@@ -361,14 +474,15 @@ def temporal_attention_cmajor(
     assert blk > 0 and hg > 0, (c, f, s, heads)
     # v4 ((d,F,S)-shaped ops, ~4× fewer VPU issues) needs power-of-2 frame
     # AND head-dim counts for its halving trees; LAVIE_TF_V4=0 pins the v2
-    # kernel for A/B
-    version = (
-        4
-        if (f & (f - 1)) == 0
-        and (d & (d - 1)) == 0
-        and os.environ.get("LAVIE_TF_V4", "1") == "1"
-        else 2
-    )
+    # kernel for A/B. v5 (GEMM-native (B,F,C,S) blocks — no boundary
+    # retiling copies) has the same shape gate; LAVIE_TF_V5=0 pins v4.
+    pow2 = (f & (f - 1)) == 0 and (d & (d - 1)) == 0
+    if pow2 and os.environ.get("LAVIE_TF_V5", "1") == "1":
+        version = 5
+    elif pow2 and os.environ.get("LAVIE_TF_V4", "1") == "1":
+        version = 4
+    else:
+        version = 2
     groups = heads // hg
     # (H, F, F) → (G, (i·Hg + h_local)·F + j, lanes) — per (i, h) the f
     # j-rows are contiguous so the kernel slices one (f, S) bias block

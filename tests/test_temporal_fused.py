@@ -33,6 +33,7 @@ def reference(q_cm, k_cm, v_cm, bias, cos, sin, scale, heads):
     return jnp.transpose(out.reshape(b, s, f, c), (3, 0, 2, 1))
 
 
+@pytest.mark.parametrize("version", ["2", "4", "5"])
 @pytest.mark.parametrize(
     "f,heads,d,rope,s",
     [
@@ -42,7 +43,10 @@ def reference(q_cm, k_cm, v_cm, bias, cos, sin, scale, heads):
         (5, 2, 40, 32, 128),  # odd frame count, base head_dim
     ],
 )
-def test_matches_xla_reference(f, heads, d, rope, s):
+def test_matches_xla_reference(f, heads, d, rope, s, version, monkeypatch):
+    # pin the kernel version (v4/v5 fall back to v2 on non-pow2 shapes)
+    monkeypatch.setenv("LAVIE_TF_V5", "1" if version == "5" else "0")
+    monkeypatch.setenv("LAVIE_TF_V4", "1" if version == "4" else "0")
     c = heads * d
     scale = d**-0.5
     assert temporal_fused_supported(f, heads, d, s)
