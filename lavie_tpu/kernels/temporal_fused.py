@@ -216,8 +216,8 @@ def _kernel_v5(
     k_ref,
     v_ref,
     bias_ref,  # (1, F·Hg·F, 128) fp32: rows (i·Hg+h)·F + j
-    qcs_ref,  # (2·F, Cg) fp32: [:F] = cos, [F:] = sin (transposed tables)
-    kcs_ref,
+    qcs_ref,  # (1, 2·F, 128) fp32 per-group: [:F] = cos, [F:] = sin,
+    kcs_ref,  # lane-padded from Cg to 128 (padding never read)
     o_ref,  # (1, F, Cg, S_blk)
     *,
     frames: int,
@@ -244,13 +244,41 @@ def _kernel_v5(
             return x.astype(jnp.float32)
         # minor insertion on the fp32 table, then cast (rope math in the
         # input dtype — parity with the XLA path / v2 / v4)
-        cos = cs_ref[:f, h * d : (h + 1) * d][:, :, None].astype(x.dtype)
-        sin = cs_ref[f : 2 * f, h * d : (h + 1) * d][:, :, None].astype(x.dtype)
+        cos = cs_ref[0, :f, h * d : (h + 1) * d][:, :, None].astype(x.dtype)
+        sin = cs_ref[0, f : 2 * f, h * d : (h + 1) * d][:, :, None].astype(x.dtype)
         parts = [-x[:, r2:r], x[:, :r2]]
         if d > r:
             parts.append(x[:, r:])
         rot = jnp.concatenate(parts, axis=1)  # sublane concat, tile-aligned
         return (x * cos + rot * sin).astype(jnp.float32)
+
+    def lead_tree(x, op):  # (N, …) → (1, …): halving tree on the leading dim
+        n = x.shape[0]
+        while n > 1:
+            if n % 2:  # fold the odd tail row into row 0
+                x = jnp.concatenate(
+                    [op(x[:1], x[n - 1 : n]), x[1 : n - 1]], axis=0
+                )
+                n -= 1
+            half = n // 2
+            x = op(x[:half], x[half:n])
+            n = half
+        return x
+
+    def sub_tree(x):  # (F, N, S) → (F, 1, S): halving tree on the sublane dim
+        n = x.shape[1]
+        while n > 1:
+            if n % 2:  # fold the odd tail sublane into sublane 0
+                x = jnp.concatenate(
+                    [x[:, :1] + x[:, n - 1 : n], x[:, 1 : n - 1]], axis=1
+                )
+                n -= 1
+            half = n // 2
+            x = x[:, :half] + x[:, half:n]
+            n = half
+        return x
+
+    add = lambda a, b: a + b  # noqa: E731
 
     for h in range(hg):
         qs = rope_all(q_ref, h, qcs_ref)  # (F, d, S) fp32
@@ -258,38 +286,19 @@ def _kernel_v5(
         vs = v_ref[0, :, h * d : (h + 1) * d, :].astype(jnp.float32)
         for i in range(f):
             prod = ks * qs[i : i + 1]  # (F, d, S) — all key frames at once
-            # d-reduction: halving tree on the SUBLANE dim (d power of 2
-            # per the gate; jnp.sum crashes Mosaic)
-            t = prod
-            n = d
-            while n > 1:
-                half = n // 2
-                t = t[:, :half] + t[:, half:n]
-                n = half
+            # d-reduction on the SUBLANE dim (jnp.sum crashes Mosaic; odd
+            # widths handled by the fold)
+            t = sub_tree(prod)
             base = (i * hg + h) * f
             bias3 = bias_ref[0, base : base + f, 0:1][:, :, None]  # (F,1,1)
             scores = t * scale + bias3  # (F, 1, S)
-            # softmax over the LEADING frame dim (f power of 2 per the gate)
-            m = scores
-            n = f
-            while n > 1:
-                half = n // 2
-                m = jnp.maximum(m[:half], m[half:n])
-                n = half
+            # softmax over the LEADING frame dim
+            m = lead_tree(scores, jnp.maximum)
             e = jnp.exp(scores - m)
-            den = e
-            n = f
-            while n > 1:
-                half = n // 2
-                den = den[:half] + den[half:n]
-                n = half
+            den = lead_tree(e, add)
             pv = vs * (e * (1.0 / den))  # (F, d, S): sublane broadcast
-            n = f
-            while n > 1:
-                half = n // 2
-                pv = pv[:half] + pv[half:n]
-                n = half
-            o_ref[0, i, h * d : (h + 1) * d, :] = pv[0].astype(o_ref.dtype)
+            out = lead_tree(pv, add)
+            o_ref[0, i, h * d : (h + 1) * d, :] = out[0].astype(o_ref.dtype)
 
 
 def pick_layout(c: int, frames: int, s: int, heads: int):
@@ -404,6 +413,11 @@ def _temporal_cmajor(q, k, v, bias_rows, cs, *, frames, heads, head_dim,
         qt = jnp.transpose(q, (1, 2, 0, 3))
         kt = jnp.transpose(k, (1, 2, 0, 3))
         vt = jnp.transpose(v, (1, 2, 0, 3))
+        # per-group (2F, Cg) tables, lane-padded to 128 (a lane block must be
+        # 128-divisible or span the full dim; the pad lanes are never read)
+        csg = jnp.transpose(cs.reshape(groups, cg, 2 * f), (0, 2, 1))
+        if cg < 128:
+            csg = jnp.pad(csg, ((0, 0), (0, 0), (0, 128 - cg)))
         spec5 = pl.BlockSpec((1, f, cg, blk), lambda b, i, g: (b, 0, g, i))
         out = pl.pallas_call(
             functools.partial(
@@ -416,14 +430,14 @@ def _temporal_cmajor(q, k, v, bias_rows, cs, *, frames, heads, head_dim,
                 spec5,
                 spec5,
                 pl.BlockSpec((1, n_g, 128), lambda b, i, g: (g, 0, 0)),
-                pl.BlockSpec((2 * f, cg), lambda b, i, g: (0, g)),
-                pl.BlockSpec((2 * f, cg), lambda b, i, g: (0, g)),
+                pl.BlockSpec((1, 2 * f, 128), lambda b, i, g: (g, 0, 0)),
+                pl.BlockSpec((1, 2 * f, 128), lambda b, i, g: (g, 0, 0)),
             ],
             out_specs=spec5,
             out_shape=jax.ShapeDtypeStruct((b, f, c, s), q.dtype),
             compiler_params=params,
             interpret=interpret,
-        )(qt, kt, vt, bias_rows, cs.T, cs.T)
+        )(qt, kt, vt, bias_rows, csg, csg)
         # back to the (C,B,F,S) contract — also a bitcast, and the
         # out-projection reads its K dim off sublanes GEMM-natively
         return jnp.transpose(out, (2, 0, 1, 3))
@@ -472,12 +486,12 @@ def temporal_attention_cmajor(
 
     blk, hg = pick_layout(c, f, s, heads)
     assert blk > 0 and hg > 0, (c, f, s, heads)
-    # v4 ((d,F,S)-shaped ops, ~4× fewer VPU issues) needs power-of-2 frame
-    # AND head-dim counts for its halving trees; LAVIE_TF_V4=0 pins the v2
-    # kernel for A/B. v5 (GEMM-native (B,F,C,S) blocks — no boundary
-    # retiling copies) has the same shape gate; LAVIE_TF_V5=0 pins v4.
+    # v5 (GEMM-native (B,F,C,S) blocks — no boundary retiling copies) is the
+    # default at every supported shape; its trees handle odd f/d via folds.
+    # v4 ((d,F,S)-shaped ops) needs power-of-2 frame AND head-dim counts;
+    # LAVIE_TF_V5=0 pins v4 (pow2) / v2 for A/B, LAVIE_TF_V4=0 pins v2.
     pow2 = (f & (f - 1)) == 0 and (d & (d - 1)) == 0
-    if pow2 and os.environ.get("LAVIE_TF_V5", "1") == "1":
+    if os.environ.get("LAVIE_TF_V5", "1") == "1":
         version = 5
     elif pow2 and os.environ.get("LAVIE_TF_V4", "1") == "1":
         version = 4
