@@ -135,18 +135,31 @@ class Decoder(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, z: jnp.ndarray, phase: str = "all") -> jnp.ndarray:
+        """phase: "all" (default) runs conv_in→mid→up; "mid" stops after the
+        mid block (the latent-resolution part — cheap in memory, so callers
+        can batch MANY frames through it for full-sublane conv layouts);
+        "up" resumes from a mid-phase output (the ×-upsampling part whose
+        activations dominate HBM, so callers chunk it per frame). The split
+        is a pure re-association of the same layer sequence — outputs are
+        identical to phase="all"."""
         cfg = self.config
         boc = cfg.block_out_channels
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         ch = boc[-1]
-        x = nn.Conv(ch, (3, 3), padding="SAME", name="conv_in", **common)(z)
+        if phase in ("all", "mid"):
+            x = nn.Conv(ch, (3, 3), padding="SAME", name="conv_in", **common)(z)
 
-        x = VAEResnetBlock(ch, ch, cfg.norm_num_groups, name="mid_resnet_0", **common)(x)
-        if cfg.mid_block_attention:
-            x = VAEAttentionBlock(ch, cfg.norm_num_groups, name="mid_attn", **common)(x)
-        x = VAEResnetBlock(ch, ch, cfg.norm_num_groups, name="mid_resnet_1", **common)(x)
+            x = VAEResnetBlock(ch, ch, cfg.norm_num_groups, name="mid_resnet_0", **common)(x)
+            if cfg.mid_block_attention:
+                x = VAEAttentionBlock(ch, cfg.norm_num_groups, name="mid_attn", **common)(x)
+            x = VAEResnetBlock(ch, ch, cfg.norm_num_groups, name="mid_resnet_1", **common)(x)
+            if phase == "mid":
+                return x
+        else:
+            assert phase == "up", f"unknown decoder phase {phase!r}"
+            x = z
 
         for i, out_ch in enumerate(reversed(boc)):
             for j in range(cfg.layers_per_block + 1):
@@ -192,6 +205,19 @@ class AutoencoderKL(nn.Module):
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
         return self.decoder(self.post_quant_conv(z))
+
+    def decode_mid(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Latent-resolution half of decode (post_quant_conv → conv_in →
+        mid block). Cheap in memory — run it with all frames batched so the
+        mid convs see full batch sublanes instead of the degenerate batch-1
+        layout XLA picks next to the flash-attention custom call (DESIGN.md:
+        26 TF/s, 58 ms/frame at the VSR 320×512 latent)."""
+        return self.decoder(self.post_quant_conv(z), phase="mid")
+
+    def decode_up(self, h: jnp.ndarray) -> jnp.ndarray:
+        """Upsampling half of decode; memory-dominant, chunk per frame.
+        decode_up(decode_mid(z)) ≡ decode(z) exactly."""
+        return self.decoder(h, phase="up")
 
     def __call__(self, x: jnp.ndarray, rng: Optional[jax.Array] = None):
         mean, logvar = self.encode(x)

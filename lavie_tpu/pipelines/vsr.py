@@ -261,14 +261,26 @@ class VideoSuperResolutionPipeline:
             # pipeline dtype (bf16) with fp32-accumulated norm stats — the
             # fp32 casts below are interface dtype only.
             z = (x / scaling).astype(jnp.float32)  # (B, F, h, w, 4)
+            # two-phase decode: the latent-resolution mid block is cheap in
+            # memory, so ALL frames batch through it at once (full batch
+            # sublanes for its convs — per-frame they degrade to a 26 TF/s
+            # T(2,128) layout next to the flash call, DESIGN.md); only the
+            # memory-dominant upsampling half runs per decode_chunk frames.
+            # decode_up(decode_mid(z)) ≡ decode(z) exactly (tested).
+            h_mid = vae.apply(
+                {"params": params["vae"]},
+                z.reshape(batch * frames, height, width, 4),
+                method=AutoencoderKL.decode_mid,
+            )
+            h_mid = h_mid.reshape(batch, frames, height, width, -1)
             chunks = []
             for i in range(0, frames, decode_chunk):
                 c = min(decode_chunk, frames - i)
-                zc = jax.lax.dynamic_slice_in_dim(z, i, c, 1)
+                hc = jax.lax.dynamic_slice_in_dim(h_mid, i, c, 1)
                 rgb_c = vae.apply(
                     {"params": params["vae"]},
-                    zc.reshape(batch * c, height, width, 4),
-                    method=AutoencoderKL.decode,
+                    hc.reshape(batch * c, height, width, h_mid.shape[-1]),
+                    method=AutoencoderKL.decode_up,
                 ).astype(jnp.float32)
                 chunks.append(
                     rgb_c.reshape(batch, c, height * upscale, width * upscale, 3)
@@ -348,10 +360,19 @@ class VideoSuperResolutionPipeline:
                               final_alpha_bar=schedule.alphas_cumprod[0])
 
         @jax.jit
-        def decode_chunk_fn(params, z_chunk):
+        def decode_mid_fn(params, z_all):
+            # all frames batched through the latent-res mid block (see the
+            # scan path's two-phase decode comment)
+            return vae.apply(
+                {"params": params["vae"]}, z_all.astype(jnp.float32),
+                method=AutoencoderKL.decode_mid,
+            )
+
+        @jax.jit
+        def decode_chunk_fn(params, h_chunk):
             rgb = vae.apply(
-                {"params": params["vae"]}, z_chunk.astype(jnp.float32),
-                method=AutoencoderKL.decode,
+                {"params": params["vae"]}, h_chunk,
+                method=AutoencoderKL.decode_up,
             ).astype(jnp.float32)
             return jnp.clip(rgb, -1.0, 1.0)
 
@@ -434,11 +455,18 @@ class VideoSuperResolutionPipeline:
                     pred_c = step_half(params, x, image_c, text_states[batch:], t, noise_level, prefix)
                     x = combine_fn(x, pred_u, pred_c, t, jnp.int32(int(pts[i])), guidance)
             z = x / scaling  # (B, F, h, w, 4)
+            h_mid = decode_mid_fn(
+                params, z.reshape(batch * frames, height, width, 4)
+            )
+            h_mid = h_mid.reshape(batch, frames, height, width, -1)
             outs = []
             for i in range(0, frames, decode_chunk):
                 c = min(decode_chunk, frames - i)
                 rgb_c = decode_chunk_fn(
-                    params, z[:, i : i + c].reshape(batch * c, height, width, 4)
+                    params,
+                    h_mid[:, i : i + c].reshape(
+                        batch * c, height, width, h_mid.shape[-1]
+                    ),
                 )
                 outs.append(
                     rgb_c.reshape(batch, c, height * upscale, width * upscale, 3)

@@ -313,6 +313,60 @@ class TestTiledDecode:
         np.testing.assert_array_equal(np.asarray(tiled), np.asarray(direct))
 
 
+class TestTwoPhaseDecode:
+    """decode_up(decode_mid(z)) must be bit-identical to decode(z): the
+    phases re-associate the same layer sequence (the VSR pipeline batches
+    all frames through the mid phase and chunks the upsampling phase)."""
+
+    def _roundtrip(self, cfg):
+        from lavie_tpu.nn.vae import AutoencoderKL
+
+        vae = AutoencoderKL(config=cfg)
+        params = vae.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)))["params"]
+        lat = 32 // cfg.downscale_factor
+        z = jnp.asarray(
+            np.random.RandomState(1).randn(3, lat, lat, cfg.latent_channels),
+            jnp.float32,
+        )
+        direct = vae.apply({"params": params}, z, method=AutoencoderKL.decode)
+        h = vae.apply({"params": params}, z, method=AutoencoderKL.decode_mid)
+        # mid output is at latent resolution (memory-cheap to batch)
+        assert h.shape[:3] == z.shape[:3]
+        split = vae.apply({"params": params}, h, method=AutoencoderKL.decode_up)
+        np.testing.assert_array_equal(np.asarray(split), np.asarray(direct))
+
+    def test_sd_f8(self):
+        from lavie_tpu.core.config import VAEConfig
+
+        self._roundtrip(VAEConfig.sd().tiny())
+
+    def test_vsr_f4(self):
+        from lavie_tpu.core.config import VAEConfig
+
+        self._roundtrip(VAEConfig.vsr().tiny())
+
+    def test_batched_mid_matches_per_frame(self):
+        """Batching frames through decode_mid is exact per frame (the
+        pipeline's use: all frames through mid, chunked up)."""
+        from lavie_tpu.core.config import VAEConfig
+        from lavie_tpu.nn.vae import AutoencoderKL
+
+        cfg = VAEConfig.sd().tiny()
+        vae = AutoencoderKL(config=cfg)
+        params = vae.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)))["params"]
+        lat = 32 // cfg.downscale_factor
+        z = jnp.asarray(
+            np.random.RandomState(2).randn(4, lat, lat, cfg.latent_channels),
+            jnp.float32,
+        )
+        batched = vae.apply({"params": params}, z, method=AutoencoderKL.decode_mid)
+        for i in range(z.shape[0]):
+            one = vae.apply(
+                {"params": params}, z[i : i + 1], method=AutoencoderKL.decode_mid
+            )
+            np.testing.assert_array_equal(np.asarray(one[0]), np.asarray(batched[i]))
+
+
 class TestVersatileAttention:
     def test_all_modes_run(self):
         from lavie_tpu.nn.versatile_attention import VersatileSelfAttention
