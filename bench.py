@@ -58,104 +58,49 @@ def log(*a):
 
 
 def bench_base():
-    from lavie_tpu.core.config import UNetConfig, VAEConfig
-    from lavie_tpu.diffusion import NoiseSchedule
-    from lavie_tpu.diffusion.samplers import (
-        classifier_free_guidance,
-        ddpm_step,
-        ddpm_timesteps,
-        prev_timesteps,
-    )
-    from lavie_tpu.nn.unet import UNet3D
-    from lavie_tpu.nn.vae import AutoencoderKL
+    """Base T2V through the SHIPPED pipeline class (text encode → CFG-doubled
+    UNet → DDPM stepper → VAE decode), not a hand-rebuilt subset — the
+    measured number includes the CLIP text encode the real pipeline runs,
+    like the tsr/vsr benches already do."""
+    from lavie_tpu.core.config import CLIPTextConfig, SamplingConfig, UNetConfig, VAEConfig
+    from lavie_tpu.pipelines.t2v import TextToVideoPipeline
 
-    unet_cfg = UNetConfig.base_t2v().tiny() if TINY else UNetConfig.base_t2v()
-    vae_cfg = VAEConfig.sd().tiny() if TINY else VAEConfig.sd()
-    height, width = (64, 64) if TINY else (HEIGHT, WIDTH)
-    frames = 2 if TINY else FRAMES
-
-    dtype = jnp.bfloat16
-    unet = UNet3D(config=unet_cfg, dtype=dtype)
-    vae = AutoencoderKL(config=vae_cfg, dtype=dtype)
-    schedule = NoiseSchedule.create()
-
-    lat_h, lat_w = height // 8, width // 8
-    lat = jnp.zeros((1, frames, lat_h, lat_w, 4), dtype)
-    ctx = jnp.zeros((2, 77, unet_cfg.cross_attention_dim), dtype)
-
-    log("base: initializing params (jitted)...")
+    log("base: initializing full-size pipeline (jitted init)...")
     t0 = time.time()
-    unet_params = jax.jit(unet.init)(
-        jax.random.PRNGKey(0), jnp.concatenate([lat, lat]), jnp.array([0, 0]), ctx
-    )["params"]
-    vae_params = jax.jit(vae.init)(
-        jax.random.PRNGKey(1), jnp.zeros((1, height, width, 3))
-    )["params"]
-    unet_params = jax.tree.map(lambda x: x.astype(dtype), unet_params)
-    vae_params = jax.tree.map(lambda x: x.astype(dtype), vae_params)
-    n_params = sum(x.size for x in jax.tree.leaves(unet_params))
+    if TINY:
+        pipe = TextToVideoPipeline.init_random(
+            jax.random.PRNGKey(0),
+            unet_config=UNetConfig.base_t2v().tiny(),
+            vae_config=VAEConfig.sd().tiny(),
+            text_config=CLIPTextConfig.vit_l().tiny(),
+        )
+        frames, height, width, steps = 2, 64, 64, 2
+    else:
+        pipe = TextToVideoPipeline.init_random(jax.random.PRNGKey(0))
+        frames, height, width, steps = FRAMES, HEIGHT, WIDTH, STEPS
+    # inference weights are bf16 (what a converted checkpoint serves); fp32
+    # init params would add a per-op convert + 2x weight bandwidth
+    pipe.params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), pipe.params)
+    n_params = sum(x.size for x in jax.tree.leaves(pipe.params["unet"]))
     log(f"base: init {time.time()-t0:.1f}s; UNet params: {n_params/1e6:.0f}M")
 
-    ts = jnp.asarray(ddpm_timesteps(STEPS))
-    pts = jnp.asarray(prev_timesteps(np.asarray(ts)))
-
-    def _denoise_step(params, x, text_states, t, pt, key):
-        xin = jnp.concatenate([x, x], axis=0).astype(dtype)
-        pred = unet.apply(
-            {"params": params}, xin, jnp.broadcast_to(t, (2,)), text_states
-        ).astype(jnp.float32)
-        eps = classifier_free_guidance(pred, 7.5)
-        key, sub = jax.random.split(key)
-        noise = jax.random.normal(sub, x.shape, dtype=jnp.float32)
-        x = ddpm_step(schedule, x, eps, t, pt, noise)
-        return x, key
-
-    # chunked hybrid loop (same shape as the pipelines'): K-step scanned
-    # programs, timestep tables as traced args so one executable serves all
-    # chunks; same step math as denoise_step → same output.
-    scan_chunk = int(os.environ.get("LAVIE_SCAN_CHUNK", "10"))
-
-    @jax.jit
-    def denoise_scan(params, x, text_states, key, ts_c, pts_c):
-        def body(carry, tp):
-            x, key = carry
-            x, key = _denoise_step(params, x, text_states, tp[0], tp[1], key)
-            return (x, key), None
-
-        (x, key), _ = jax.lax.scan(body, (x, key), (ts_c, pts_c))
-        return x, key
-
-    def denoise(params, x, text_states, key):
-        x = x.astype(jnp.float32)
-        k = scan_chunk if scan_chunk > 0 else STEPS
-        for i in range(0, STEPS, k):
-            x, key = denoise_scan(params, x, text_states, key,
-                                  ts[i : i + k], pts[i : i + k])
-        return x
-
-    @jax.jit
-    def decode(params, z):
-        z2d = (z / 0.18215).astype(dtype).reshape(frames, lat_h, lat_w, 4)
-        rgb = vae.apply({"params": params}, z2d, method=AutoencoderKL.decode)
-        return jnp.clip(rgb.astype(jnp.float32) / 2 + 0.5, 0, 1)
-
-    x0 = jax.random.normal(jax.random.PRNGKey(2), lat.shape, dtype=jnp.float32)
+    def run(seed):
+        t0 = time.time()
+        out = pipe(
+            "a teddy bear walking on the street, 4k, high resolution",
+            video_length=frames, height=height, width=width,
+            num_inference_steps=steps, guidance_scale=7.5,
+            sample_method="ddpm", seed=seed,
+        )
+        _ = np.asarray(out.video)
+        return time.time() - t0
 
     log("base: compiling + warmup...")
     t0 = time.time()
-    out = denoise(unet_params, x0, ctx, jax.random.PRNGKey(3))
-    rgb = decode(vae_params, out)
-    _ = np.asarray(rgb)
+    run(0)
     log(f"base: compile+first-run {time.time()-t0:.1f}s")
 
-    times = []
-    for i in range(3):
-        xi = jax.random.normal(jax.random.PRNGKey(100 + i), lat.shape, dtype=jnp.float32)
-        t0 = time.time()
-        out = denoise(unet_params, xi, ctx, jax.random.PRNGKey(i))
-        rgb = decode(vae_params, out)
-        _ = np.asarray(rgb)
-        times.append(time.time() - t0)
+    times = [run(100 + i) for i in range(3)]
     best = min(times)
     fps = frames / best
     log(f"base: runs {[f'{t:.2f}s' for t in times]}; best {best:.2f}s → {fps:.3f} frames/s")
@@ -178,6 +123,7 @@ def bench_tsr():
         log("tsr: initializing full-size pipeline (jitted init)...")
         pipe = VideoInterpolationPipeline.init_random(jax.random.PRNGKey(0))
         frames_in, h, w, out_frames, steps = 16, 320, 512, 61, STEPS
+    pipe.params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), pipe.params)
 
     rng = np.random.RandomState(0)
 
@@ -216,11 +162,12 @@ def bench_vsr():
         log("vsr: initializing full-size pipeline (jitted init)...")
         pipe = VideoSuperResolutionPipeline.init_random(jax.random.PRNGKey(0))
         frames, h, w, steps = 8, 320, 512, STEPS
+    pipe.params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), pipe.params)
 
     rng = np.random.RandomState(0)
 
-    def run(seed):
-        video = (rng.rand(frames, h, w, 3) * 255).astype(np.uint8)
+    def run(seed, nframes):
+        video = (rng.rand(nframes, h, w, 3) * 255).astype(np.uint8)
         t0 = time.time()
         out = pipe(video, prompt="a cat, 4k.", num_inference_steps=steps,
                    seed=seed)
@@ -229,12 +176,24 @@ def bench_vsr():
 
     log("vsr: compile + warmup window...")
     t0 = time.time()
-    run(0)
+    run(0, frames)
     log(f"vsr: compile+first-run {time.time()-t0:.1f}s")
-    times = [run(1 + i) for i in range(2)]
+    times = [run(1 + i, frames) for i in range(2)]
     best = min(times)
     log(f"vsr: runs {[f'{t:.1f}s' for t in times]}; best {best:.1f}s/window")
-    return best
+
+    # the 61-frame option-4 video splits into 7 full windows + a 5-frame
+    # tail, which the pipeline now runs at its NATURAL size (no padding) —
+    # measure it so the option-4 total stops charging 3 phantom frames
+    tail = 5 if not TINY else max(frames - 1, 1)
+    log("vsr: compile + warmup tail window...")
+    t0 = time.time()
+    run(50, tail)
+    log(f"vsr: tail compile+first-run {time.time()-t0:.1f}s")
+    tail_times = [run(51 + i, tail) for i in range(2)]
+    tail_best = min(tail_times)
+    log(f"vsr: tail runs {[f'{t:.1f}s' for t in tail_times]}; best {tail_best:.1f}s/{tail}f-tail")
+    return best, tail_best
 
 
 def main():
@@ -242,12 +201,12 @@ def main():
     log(f"device: {dev} ({dev.platform})")
 
     results = []
-    base_fps = base_s = tsr_s = vsr_s = None
+    base_fps = base_s = tsr_s = vsr_s = vsr_tail_s = None
 
     if "base" in STAGES:
         base_fps, base_s = bench_base()
         results.append({
-            "metric": f"frames/sec/chip base T2V {FRAMES}x{HEIGHT}x{WIDTH} {STEPS}-step DDPM+CFG (incl. VAE decode)",
+            "metric": f"frames/sec/chip base T2V {FRAMES}x{HEIGHT}x{WIDTH} {STEPS}-step DDPM+CFG (full pipeline incl. text encode + VAE decode)",
             "value": round(base_fps, 4), "unit": "frames/s",
             "vs_baseline": round(base_fps / ROUND1_BASELINE_FPS, 4),
         })
@@ -259,20 +218,26 @@ def main():
             "vs_baseline": round(ROUND1_TSR_S / tsr_s, 4),
         })
     if "vsr" in STAGES:
-        vsr_s = bench_vsr()
+        vsr_s, vsr_tail_s = bench_vsr()
         results.append({
             "metric": "VSR 8f window 320x512->1280x2048 50-step (incl. decode)",
             "value": round(vsr_s, 2), "unit": "s/window",
             "vs_baseline": round(ROUND1_VSR_WINDOW_S / vsr_s, 4),
+        })
+        results.append({
+            "metric": "VSR 5f tail window 320x512->1280x2048 50-step (natural size, no padding)",
+            "value": round(vsr_tail_s, 2), "unit": "s/window",
+            "vs_baseline": round(ROUND1_VSR_WINDOW_S / vsr_tail_s, 4),
         })
 
     # per-stage lines first, headline LAST (drivers that keep only one line
     # get the headline; drivers that keep all get the full breakdown)
     headline = None
     if base_s is not None and tsr_s is not None and vsr_s is not None:
-        opt4 = base_s + tsr_s + 8 * vsr_s
+        # 61 frames = 7 full 8-frame windows + the natural-size 5-frame tail
+        opt4 = base_s + tsr_s + 7 * vsr_s + vsr_tail_s
         headline = {
-            "metric": "option-4 single-chip total: base + TSR + 8 VSR windows (61f @ 1280x2048, 50 steps)",
+            "metric": "option-4 single-chip total: base + TSR + 7 VSR windows + 5f tail (61f @ 1280x2048, 50 steps)",
             "value": round(opt4, 1), "unit": "s",
             "vs_baseline": round(ROUND1_OPTION4_S / opt4, 4),
         }

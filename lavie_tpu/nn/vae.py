@@ -158,7 +158,8 @@ class Decoder(nn.Module):
             if phase == "mid":
                 return x
         else:
-            assert phase == "up", f"unknown decoder phase {phase!r}"
+            if phase != "up":
+                raise ValueError(f"unknown decoder phase {phase!r}")
             x = z
 
         for i, out_ch in enumerate(reversed(boc)):
@@ -208,10 +209,16 @@ class AutoencoderKL(nn.Module):
 
     def decode_mid(self, z: jnp.ndarray) -> jnp.ndarray:
         """Latent-resolution half of decode (post_quant_conv → conv_in →
-        mid block). Cheap in memory — run it with all frames batched so the
-        mid convs see full batch sublanes instead of the degenerate batch-1
-        layout XLA picks next to the flash-attention custom call (DESIGN.md:
-        26 TF/s, 58 ms/frame at the VSR 320×512 latent)."""
+        mid block). Cheap in FLOPs relative to decode_up — run it with all
+        frames batched so the mid convs see full batch sublanes instead of
+        the degenerate batch-1 layout XLA picks next to the flash-attention
+        custom call (DESIGN.md: 26 TF/s, 58 ms/frame at the VSR 320×512
+        latent). NOT free in memory: the output holds block_out_channels[-1]
+        (512 for the VSR f4 VAE) channels at latent resolution for EVERY
+        batched frame, live across the caller's whole chunked decode_up loop
+        (~1.3 GB bf16 for an 8-frame 320×512 window), and the batched mid
+        attention runs flash at (B·F)×(h·w) sequence — callers with much
+        larger window_batch or frame counts should chunk decode_mid itself."""
         return self.decoder(self.post_quant_conv(z), phase="mid")
 
     def decode_up(self, h: jnp.ndarray) -> jnp.ndarray:

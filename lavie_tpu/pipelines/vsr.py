@@ -5,8 +5,10 @@ vendored v-prediction DDIM and processes the video in 8-frame windows
 (reference: vsr/sample.py:100-119,
 vsr/models/pipeline_stable_diffusion_upscale_video_3d.py:491-780). Here each
 window — low-res noising, the 50-step v-pred DDIM loop with per-step low-res
-channel concat + noise-level class conditioning, and the chunked fp32 VAE
-decode — is one jitted XLA program.
+channel concat + noise-level class conditioning, and the two-phase VAE decode
+(all frames batched through the latent-res mid block, then the memory-dominant
+×4 upsampling half in per-frame chunks; bf16 interface with fp32-accumulated
+norm stats) — is one jitted XLA program.
 
 Key mechanics mirrored exactly:
   - latents live at the INPUT resolution; the f4 VAE decoder performs the ×4
@@ -499,9 +501,16 @@ class VideoSuperResolutionPipeline:
 
         key = jax.random.PRNGKey(seed)
 
-        # split into fixed-size windows; pad the tail window and trim after
-        # (the reference's last window is shape-dynamic — XLA wants static,
-        # reference: vsr/sample.py:100-119)
+        # split into fixed-size windows (the reference's last window is
+        # shape-dynamic — XLA wants static, reference: vsr/sample.py:100-119).
+        # Serial execution (group == 1) compiles ONE extra program for a short
+        # tail window instead of padding it to `win` — at 61 frames the tail
+        # is 5/8 padding, ~4.6% of the whole VSR compute thrown away. Batched
+        # (dp / window_batch) execution still pads: the windows run
+        # concurrently, so the wall clock is the max over windows and the
+        # padding costs nothing there, while a ragged batch would.
+        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+        group = max(dp, self.window_batch, 1)
         win = min(self.window, total)
         chunks = []
         spans = []
@@ -509,7 +518,7 @@ class VideoSuperResolutionPipeline:
             end = min(total, start + win)
             chunk = frames[start:end]
             pad = win - chunk.shape[0]
-            if pad:
+            if pad and group > 1:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], axis=0)
             chunks.append(chunk)
             spans.append((start, end))
@@ -518,8 +527,6 @@ class VideoSuperResolutionPipeline:
         # all windows run as ONE batched program, sharded over chips; XLA
         # needs no cross-window collectives (the video analog of data
         # parallelism; the reference runs them serially on one GPU).
-        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
-        group = max(dp, self.window_batch, 1)
         outs = [None] * len(chunks)
         for g0 in range(0, len(chunks), group):
             batch_chunks = chunks[g0 : g0 + group]
@@ -527,7 +534,8 @@ class VideoSuperResolutionPipeline:
             while len(batch_chunks) < group:  # pad the window batch for dp
                 batch_chunks.append(batch_chunks[-1])
             bsz = len(batch_chunks)
-            cache_key = (bsz, win, height, width, steps, self.loop_mode,
+            gwin = batch_chunks[0].shape[0]
+            cache_key = (bsz, gwin, height, width, steps, self.loop_mode,
                          self.scan_chunk)
             if cache_key not in self._compiled:
                 builder = (
@@ -535,7 +543,7 @@ class VideoSuperResolutionPipeline:
                     if self.loop_mode in ("python", "hybrid")
                     else self._build_sampler
                 )
-                self._compiled[cache_key] = builder(bsz, win, height, width, steps)
+                self._compiled[cache_key] = builder(bsz, gwin, height, width, steps)
             token_ids = jnp.asarray(
                 np.concatenate(
                     [
@@ -552,7 +560,7 @@ class VideoSuperResolutionPipeline:
 
                 spec = P(
                     "dp" if bsz % max(self.mesh.shape.get("dp", 1), 1) == 0 else None,
-                    "sp" if win % max(self.mesh.shape.get("sp", 1), 1) == 0 else None,
+                    "sp" if gwin % max(self.mesh.shape.get("sp", 1), 1) == 0 else None,
                 )
                 batch_in = jax.device_put(batch_in, NamedSharding(self.mesh, spec))
             out = np.asarray(

@@ -197,6 +197,134 @@ class TestEuler:
         np.testing.assert_allclose(np.asarray(out), 1 / np.sqrt(10), rtol=1e-6)
 
 
+class _EulerOracle016:
+    """Hand-ported numpy twin of diffusers 0.16 `EulerDiscreteScheduler`
+    (set_timesteps interp + step with s_churn=0 + scale_model_input), the
+    scheduler the base CLI selects for `sample_method: eulerdiscrete`
+    (reference: base/pipelines/sample.py:54-59). Ported from the published
+    diffusers 0.16.1 source semantics so the JAX implementation has a
+    CROSS-framework check, not just self-consistency:
+
+      __init__:  betas float32 linspace → alphas_cumprod (float32 cumprod);
+                 sigmas = ((1-acp)/acp)**0.5 reversed + [0]; init_noise_sigma
+                 = sigmas.max()
+      set_timesteps: timesteps = linspace(0, T-1, n, float)[::-1];
+                 sigmas = np.interp(timesteps, arange(T), full_sigmas) + [0],
+                 cast float32
+      scale_model_input: sample / ((sigma**2 + 1) ** 0.5)
+      step (s_churn=0 → gamma=0, sigma_hat=sigma):
+                 epsilon:  x0 = sample - sigma * model_output
+                 v_pred:   x0 = model_output * (-sigma / (sigma**2+1)**0.5)
+                              + sample / (sigma**2 + 1)
+                 derivative = (sample - x0) / sigma
+                 prev = sample + derivative * (sigmas[i+1] - sigma)
+    """
+
+    def __init__(self, num_train_timesteps=1000, beta_start=1e-4,
+                 beta_end=0.02, prediction_type="epsilon"):
+        self.num_train_timesteps = num_train_timesteps
+        self.prediction_type = prediction_type
+        betas = np.linspace(beta_start, beta_end, num_train_timesteps,
+                            dtype=np.float32)
+        self.alphas_cumprod = np.cumprod(1.0 - betas, dtype=np.float32)
+        sigmas = np.array(((1 - self.alphas_cumprod) / self.alphas_cumprod) ** 0.5)
+        sigmas = np.concatenate([sigmas[::-1], [0.0]]).astype(np.float32)
+        self.sigmas = sigmas
+        self.init_noise_sigma = self.sigmas.max()
+        self.timesteps = np.linspace(
+            0, num_train_timesteps - 1, num_train_timesteps, dtype=float
+        )[::-1].copy()
+
+    def set_timesteps(self, num_inference_steps):
+        timesteps = np.linspace(
+            0, self.num_train_timesteps - 1, num_inference_steps, dtype=float
+        )[::-1].copy()
+        sigmas = np.array(((1 - self.alphas_cumprod) / self.alphas_cumprod) ** 0.5)
+        sigmas = np.interp(timesteps, np.arange(0, len(sigmas)), sigmas)
+        sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+        self.sigmas = sigmas
+        self.timesteps = timesteps
+
+    def _step_index(self, timestep):
+        return int(np.nonzero(self.timesteps == timestep)[0][0])
+
+    def scale_model_input(self, sample, timestep):
+        sigma = self.sigmas[self._step_index(timestep)]
+        return sample / ((sigma**2 + 1) ** 0.5)
+
+    def step(self, model_output, timestep, sample):
+        i = self._step_index(timestep)
+        sigma = self.sigmas[i]
+        # s_churn=0 → gamma=0, sigma_hat == sigma, no churn noise
+        if self.prediction_type == "epsilon":
+            pred_original = sample - sigma * model_output
+        elif self.prediction_type == "v_prediction":
+            pred_original = model_output * (-sigma / (sigma**2 + 1) ** 0.5) + (
+                sample / (sigma**2 + 1)
+            )
+        else:
+            raise ValueError(self.prediction_type)
+        derivative = (sample - pred_original) / sigma
+        dt = self.sigmas[i + 1] - sigma
+        return sample + derivative * dt
+
+
+class TestEulerDiffusersTwin:
+    """Cross-framework check of euler_sigmas/euler_step/scale_model_input
+    against the numpy diffusers-0.16 oracle (closes the self-consistency-only
+    gap: reference scheduler choice base/pipelines/sample.py:54-59)."""
+
+    def test_sigmas_timesteps_init_noise_sigma(self):
+        s = make_schedule()
+        oracle = _EulerOracle016()
+        oracle.set_timesteps(50)
+        ts, sigmas, init_sigma = euler_sigmas(np.asarray(s.alphas_cumprod), 50)
+        np.testing.assert_allclose(ts, oracle.timesteps.astype(np.float32),
+                                   rtol=0, atol=0)
+        # rtol absorbs fp32-vs-fp64 alphas_cumprod accumulation (diffusers
+        # cumprods in float32; NoiseSchedule in float64) — semantics identical
+        np.testing.assert_allclose(sigmas, oracle.sigmas, rtol=5e-5, atol=1e-6)
+        assert init_sigma == pytest.approx(float(oracle.init_noise_sigma),
+                                           rel=1e-6)
+
+    @pytest.mark.parametrize("prediction_type", ["epsilon", "v_prediction"])
+    def test_full_trajectory_vs_oracle(self, prediction_type):
+        """Drive BOTH implementations through a 25-step denoise with the same
+        deterministic fake model (a function of the SCALED input, exactly what
+        the UNet sees — exercising the pipelines' init_noise_sigma scaling +
+        scale_model_input + euler_step composition, pipelines/t2v.py)."""
+        s = make_schedule()
+        steps = 25
+        oracle = _EulerOracle016(prediction_type=prediction_type)
+        oracle.set_timesteps(steps)
+        ts, sigmas, init_sigma = euler_sigmas(np.asarray(s.alphas_cumprod), steps)
+
+        rng = np.random.RandomState(11)
+        noise = rng.randn(2, 3, 4).astype(np.float32)
+        w = rng.randn(4, 4).astype(np.float32) * 0.3
+
+        def model(x_scaled, t):
+            # nonlinear in the scaled input and t so any scaling mistake shows
+            return np.tanh(x_scaled @ w) + np.float32(t) * 1e-4
+
+        # oracle trajectory
+        xo = noise * oracle.init_noise_sigma
+        for t in oracle.timesteps:
+            out = model(oracle.scale_model_input(xo, t), t)
+            xo = oracle.step(out, t, xo)
+
+        # JAX trajectory, composed the way pipelines/t2v.py composes it
+        xj = jnp.asarray(noise) * init_sigma
+        for i in range(steps):
+            scaled = euler_scale_model_input(xj, jnp.asarray(sigmas[i]))
+            out = jnp.asarray(model(np.asarray(scaled), ts[i]))
+            xj = euler_step(xj, out, jnp.asarray(sigmas[i]),
+                            jnp.asarray(sigmas[i + 1]),
+                            prediction_type=prediction_type)
+
+        np.testing.assert_allclose(np.asarray(xj), xo, rtol=2e-4, atol=2e-4)
+
+
 class TestCFG:
     def test_guidance_formula(self):
         uncond = jnp.zeros((1, 4))

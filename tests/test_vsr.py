@@ -108,9 +108,28 @@ class TestVSRPipeline:
     def test_upscales_4x_with_windowing(self, tiny_vsr):
         video_in = (np.random.RandomState(0).rand(6, 32, 32, 3) * 255).astype(np.uint8)
         out = tiny_vsr(video_in, "a cat", num_inference_steps=2, seed=0)
-        # 6 frames > window 4 → two windows, tail padded+trimmed
+        # 6 frames > window 4 → one full window + a natural-size 2-frame tail
+        # program (serial execution compiles the tail at its own length
+        # instead of padding — no wasted compute)
         assert out.video.shape == (6, 128, 128, 3)
         assert out.video.dtype == np.uint8
+        # the tail really ran as a 2-frame program, not a padded 4-frame one
+        assert any(k[1] == 2 for k in tiny_vsr._compiled)
+
+    def test_batched_windows_pad_tail(self, tiny_vsr):
+        """window_batch > 1 keeps the padded uniform-size batch (concurrent
+        windows: the wall clock is the max over windows, so padding is free,
+        while a ragged batch would break the single batched program)."""
+        video_in = (np.random.RandomState(3).rand(6, 32, 32, 3) * 255).astype(np.uint8)
+        old = tiny_vsr.window_batch
+        tiny_vsr.window_batch = 2
+        try:
+            out = tiny_vsr(video_in, "a cat", num_inference_steps=2, seed=0)
+        finally:
+            tiny_vsr.window_batch = old
+        assert out.video.shape == (6, 128, 128, 3)
+        # both windows went through one batched (bsz=2, win=4) program
+        assert any(k[0] == 2 and k[1] == 4 for k in tiny_vsr._compiled)
 
     def test_deterministic(self, tiny_vsr):
         video_in = (np.random.RandomState(1).rand(2, 32, 32, 3) * 255).astype(np.uint8)
