@@ -321,28 +321,41 @@ def pick_layout(c: int, frames: int, s: int, heads: int):
     import os
 
     env_hg = os.environ.get("LAVIE_TF_HG")
-    hg = int(env_hg) if env_hg else 0
-    if hg and (hg * d > 128 or heads % hg != 0):
-        hg = 0  # reject overrides selecting a known-crashing cg
-    if not hg:
-        hg = heads
-        while hg > 1 and (hg * d > 128 or heads % hg != 0):
-            hg //= 2
-    cg = hg * d
-    if cg % 8 != 0 or cg > 128:
-        return 0, 0
+    hg0 = int(env_hg) if env_hg else 0
+    if hg0 and (hg0 * d > 128 or heads % hg0 != 0):
+        hg0 = 0  # reject overrides selecting a known-crashing cg
+    if not hg0:
+        hg0 = heads
+        while hg0 > 1 and (hg0 * d > 128 or heads % hg0 != 0):
+            hg0 //= 2
     env_blk = os.environ.get("LAVIE_TF_BLK")
     blks = (int(env_blk),) if env_blk else (128,)
-    for blk in blks:
-        if s % blk != 0:
-            continue
-        est = (
-            8 * frames * cg * blk * 2  # pipelined q/k/v/out tiles
-            + 2 * frames * cg * blk * 2  # bf16 rope staging
-            + 4 * cg * blk * 4  # fp32 working set
-        )
-        if est <= 9 * 1024 * 1024:
-            return blk, hg
+    # walk hg DOWN when the VMEM estimate fails: long-frame shapes (TSR's
+    # f=61) fit only with fewer heads per group, and there the kernel still
+    # beats XLA's materialized-f²-scores path even at hg=1
+    hg = hg0
+    while hg >= 1:
+        cg = hg * d
+        if cg % 8 == 0 and cg <= 128:
+            for blk in blks:
+                if s % blk != 0:
+                    continue
+                est = (
+                    8 * frames * cg * blk * 2  # pipelined q/k/v/out tiles
+                    + 2 * frames * cg * blk * 2  # bf16 rope staging
+                    # v5 stages whole-head q/k/v fp32 + the (F, d, S) score
+                    # product — scales with d and FRAMES, the term that
+                    # dominates at f=61
+                    + 4 * frames * d * blk * 4
+                    + 4 * cg * blk * 4  # fp32 softmax working set
+                )
+                if est <= 12 * 1024 * 1024:
+                    return blk, hg
+        if heads % max(hg // 2, 1) != 0:
+            break
+        hg //= 2
+        if env_hg:
+            break  # an explicit override is not silently shrunk
     return 0, 0
 
 
@@ -353,11 +366,22 @@ def temporal_fused_supported(frames: int, heads: int, head_dim: int, s: int) -> 
     d=80: 4.8 vs 3.7 ms; d=128: 5.4 vs 3.7 — vs d=40: 7.3 vs 13.1 and
     d=64: 20.0 vs 23.3 where the kernel wins; cg=160 hg=2 at d=80 crashes
     the Mosaic compiler)."""
-    if frames > 16 or head_dim % 8 != 0:
+    if frames > 64 or head_dim % 8 != 0:
         return False
     c = heads * head_dim
     blk, hg = pick_layout(c, frames, s, heads)
-    return blk > 0 and hg >= 2
+    if blk <= 0:
+        return False
+    if frames <= 16:
+        return hg >= 2
+    # long-frame shapes (TSR f=61): XLA materializes the f² score tensor in
+    # fp32 HBM (610 MB per L0 block at 61 frames) and pays boundary
+    # transposes, so the kernel wins even at hg=1 — measured IN-MODEL on the
+    # TSR CFG-2 forward: _apply_temporal 27.4 → 20.7 ms per L0 block (kernel
+    # custom-call 17.1 vs 22.1 ms XLA attention math); standalone the kernel
+    # is 21.2 vs 18.1 ms, i.e. the in-model win comes from the removed
+    # (b f) s c ↔ (b s) f c transposes and channel-major projections
+    return hg >= 1
 
 
 def channel_permutation(heads: int, head_dim: int, hg: int) -> np.ndarray:

@@ -40,10 +40,28 @@ def test_geglu_3d_and_bf16():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.15, rtol=0.1)
 
 
+def test_geglu_c320_partial_lane_tile():
+    """C=320 (TSR/base L0) is NOT a lane multiple — Mosaic masks the partial
+    last tile; the kernel must still match the reference."""
+    key = jax.random.PRNGKey(2)
+    ks = jax.random.split(key, 5)
+    n, c, inner = 512, 320, 1280
+    x = jax.random.normal(ks[0], (n, c), jnp.float32)
+    w0 = jax.random.normal(ks[1], (c, 2 * inner), jnp.float32) * 0.05
+    b0 = jax.random.normal(ks[2], (2 * inner,), jnp.float32) * 0.1
+    w2 = jax.random.normal(ks[3], (inner, c), jnp.float32) * 0.05
+    b2 = jax.random.normal(ks[4], (c,), jnp.float32) * 0.1
+    ref = _ref(x, w0, b0, w2, b2)
+    out = geglu(x, w0, b0, w2, b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4, rtol=5e-4)
+
+
 def test_supported_shape_gating():
     assert geglu_supported_shape(40960 * 8, 512, 2048)
+    assert geglu_supported_shape(4096, 320, 1280)  # TSR/base L0 (partial lane tile)
     assert not geglu_supported_shape(1000, 512, 2048)  # ragged N
-    assert not geglu_supported_shape(4096, 320, 1280)  # not lane aligned
+    assert not geglu_supported_shape(4096, 260, 1280)  # not sublane aligned
+    assert not geglu_supported_shape(4096, 64, 256)  # below one lane tile
     assert not geglu_supported_shape(4096, 1280, 5120)  # weights too big for VMEM
     assert not geglu_supported_shape(4096, 1024, 4096)  # weights too big for VMEM
 

@@ -202,6 +202,41 @@ class TestAttentionParity:
         got = np.asarray(ours.apply({"params": params}, x_j, ctx_j))
         np.testing.assert_allclose(got, want, atol=ATOL)
 
+    def test_temporal_attention_head_dim40_partial_rope(self):
+        """The PRODUCTION head geometry: head_dim 40 with the shared
+        RotaryEmbedding(32) rotating only 32 of the 40 dims — the remaining 8
+        pass through unrotated (reference: base/models/unet.py:185 builds
+        RotaryEmbedding(32) for every temporal attention;
+        base/models/attention.py:644-646 applies it to q/k). Verifies the
+        converter's partial re-basis leaves the 8 pass-through columns alone."""
+        ref = ref_shim.load_ref("base", "attention")
+        rot = sys.modules["rotary_embedding_torch"]
+        torch.manual_seed(33)
+        attn_t = ref.TemporalAttention(
+            query_dim=320, heads=8, dim_head=40,
+            rotary_emb=rot.RotaryEmbedding(32),
+        ).eval()
+        randomize_zero_weights(attn_t, seed=34)
+
+        from lavie_tpu.nn.attention import TemporalAttention
+
+        ours = TemporalAttention(
+            query_dim=320, heads=8, head_dim=40, variant="rope_relbias",
+            rope_dim=32, num_buckets=32, max_distance=32,
+        )
+        g = torch.Generator().manual_seed(35)
+        x_t = rand_t(g, 3, 16, 320)  # 16 real frames, (b·h·w, f, c) rows
+        x_j = jnp.asarray(x_t.numpy())
+        init = ours.init(jax.random.PRNGKey(0), x_j)["params"]
+        params = convert_state_dict(init, sd_numpy(attn_t))
+        params = permute_rope_channels(
+            {"attn_temp": params}, heads=8, rot_dim=32
+        )["attn_temp"]
+        with torch.no_grad():
+            want = attn_t(x_t).numpy()
+        got = np.asarray(ours.apply({"params": params}, x_j))
+        np.testing.assert_allclose(got, want, atol=ATOL)
+
     @pytest.mark.parametrize("frames", [5, 16])
     def test_temporal_attention_rope_relbias(self, frames):
         """reference: base/models/attention.py:562-667 — interleaved RoPE on
@@ -634,6 +669,139 @@ class TestTinyUNetForwardParity:
             ).sample.numpy()
         got = j2t_video(ours.apply({"params": params}, x_j, t_j, ctx_j, cl_j))
         np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+@pytest.mark.slow
+class TestFullWidthUNetForwardParity:
+    """Forward parity at the PRODUCTION widths — the configs the real
+    checkpoints ship (320/640/1280 channels, 8 heads, head_dim 40/80/160,
+    partial RoPE; VSR 256/512/512/1024). Spatial dims stay tiny (16×16
+    latents, 2-3 frames) — parameters and per-channel math are exactly
+    checkpoint-shaped (909M params for base), so this also exercises
+    full-size strict_unused conversion (reference surgery being replaced:
+    base/models/unet.py:540-588)."""
+
+    def test_base_unet_full_width(self):
+        """reference: base/models/unet.py:98-512 at its real defaults
+        (blocks 320/640/1280/1280, layers_per_block 2, heads 8 →
+        head_dim 40/80/160 with RotaryEmbedding(32) partial rotation,
+        cross_attention_dim 768)."""
+        ref = ref_shim.load_ref("base", "unet")
+        torch.manual_seed(50)
+        unet_t = ref.UNet3DConditionModel(cross_attention_dim=768).eval()
+        randomize_zero_weights(unet_t, seed=51)
+
+        from lavie_tpu.core.config import UNetConfig
+
+        cfg = UNetConfig.base_t2v()
+        g = torch.Generator().manual_seed(52)
+        b, f, hh, ww = 1, 2, 16, 16
+        x_t = rand_t(g, b, 4, f, hh, ww)
+        ctx_t = rand_t(g, b, 7, 768)
+        t_t = torch.tensor([321], dtype=torch.long)
+        x_j = t2j_video(x_t)
+        ctx_j = jnp.asarray(ctx_t.numpy())
+        t_j = jnp.asarray([321])
+        ours, params = _our_unet_and_params(
+            cfg, unet_t, jax.random.PRNGKey(0), x_j, t_j, ctx_j, rope_heads=8
+        )
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        assert n_params > 9e8  # checkpoint-shaped: ~909M converted params
+        with torch.no_grad():
+            want = unet_t(x_t, t_t, encoder_hidden_states=ctx_t).sample.numpy()
+        got = j2t_video(ours.apply({"params": params}, x_j, t_j, ctx_j))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_interpolation_unet_full_width(self):
+        """reference: interpolation/models/unet.py at the TSR production
+        config — in_channels 8 (copy_no_mask conv_in widening at full width,
+        :503-530), use_first_frame SparseCausal attn1, plain temporal."""
+        ref = ref_shim.load_ref("interpolation", "unet")
+        torch.manual_seed(53)
+        unet_t = ref.UNet3DConditionModel(
+            in_channels=8, cross_attention_dim=768, use_first_frame=True,
+        ).eval()
+        randomize_zero_weights(unet_t, seed=54)
+
+        from lavie_tpu.core.config import UNetConfig
+
+        cfg = UNetConfig.interpolation()
+        g = torch.Generator().manual_seed(55)
+        b, f, hh, ww = 1, 3, 16, 16
+        x_t = rand_t(g, b, 8, f, hh, ww)
+        ctx_t = rand_t(g, b, 7, 768)
+        t_t = torch.tensor([777], dtype=torch.long)
+        x_j = t2j_video(x_t)
+        ctx_j = jnp.asarray(ctx_t.numpy())
+        t_j = jnp.asarray([777])
+        ours, params = _our_unet_and_params(
+            cfg, unet_t, jax.random.PRNGKey(0), x_j, t_j, ctx_j
+        )
+        with torch.no_grad():
+            want = unet_t(x_t, t_t, encoder_hidden_states=ctx_t).sample.numpy()
+        got = j2t_video(ours.apply({"params": params}, x_j, t_j, ctx_j))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_vsr_unet_full_width(self):
+        """reference: vsr/models/unet.py:102-590 at the SHIPPED
+        unet_3d_config.json (blocks 256/512/512/1024, heads 8, cross 1024,
+        only_cross [T,T,T,F], linear projections, 1000 noise-level class
+        embeds, TemporalModule3D after every block)."""
+        ref = ref_shim.load_ref("vsr", "unet")
+        torch.manual_seed(56)
+        unet_t = ref.UNet3DVSRModel(
+            down_temporal_idx=(0, 1, 2, 3), mid_temporal=True,
+            up_temporal_idx=(0, 1, 2, 3), video_condition=False,
+            temporal_module_config=dict(
+                num_attention_layers=1, attention_block_types=("", ""),
+                cross_frame_attention_mode="0_i-1_i",
+                temporal_shift_fold_div=2, temporal_shift_direction="right",
+                use_dcn_warpping=False, use_deformable_conv=False,
+                attention_dim_div=2,
+            ),
+            in_channels=7, out_channels=4,
+            block_out_channels=(256, 512, 512, 1024), layers_per_block=2,
+            norm_num_groups=32, cross_attention_dim=1024,
+            attention_head_dim=8, num_class_embeds=1000,
+            down_block_types=(
+                "DownBlock3D", "CrossAttnDownBlock3D",
+                "CrossAttnDownBlock3D", "CrossAttnDownBlock3D",
+            ),
+            up_block_types=(
+                "CrossAttnUpBlock3D", "CrossAttnUpBlock3D",
+                "CrossAttnUpBlock3D", "UpBlock3D",
+            ),
+            only_cross_attention=(True, True, True, False),
+            use_linear_projection=True,
+        ).eval()
+        randomize_zero_weights(unet_t, seed=57)
+
+        from lavie_tpu.core.config import UNetConfig
+        from lavie_tpu.nn.unet import UNet3D
+
+        cfg = UNetConfig.vsr()
+        g = torch.Generator().manual_seed(58)
+        b, f, hh, ww = 1, 2, 16, 16
+        lat_t = rand_t(g, b, 4, f, hh, ww)
+        lr_t = rand_t(g, b, 3, f, hh, ww)
+        ctx_t = rand_t(g, b, 7, 1024)
+        t_t = torch.tensor([123], dtype=torch.long)
+        cl_t = torch.tensor([50], dtype=torch.long)
+        x_j = jnp.concatenate([t2j_video(lat_t), t2j_video(lr_t)], axis=-1)
+        ctx_j = jnp.asarray(ctx_t.numpy())
+        t_j = jnp.asarray([123])
+        cl_j = jnp.asarray([50])
+        ours = UNet3D(config=cfg)
+        init = ours.init(jax.random.PRNGKey(0), x_j, t_j, ctx_j, cl_j)["params"]
+        params = convert_state_dict(init, sd_numpy(unet_t), strict_unused=True)
+        params = permute_rope_channels(params, heads=8, rot_dim=32)
+        with torch.no_grad():
+            want = unet_t(
+                lat_t, t_t, low_res=lr_t, encoder_hidden_states=ctx_t,
+                class_labels=cl_t,
+            ).sample.numpy()
+        got = j2t_video(ours.apply({"params": params}, x_j, t_j, ctx_j, cl_j))
+        np.testing.assert_allclose(got, want, atol=2e-3)
 
 
 class TestNoiseAugParity:

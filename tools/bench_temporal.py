@@ -40,6 +40,10 @@ SHAPES = [
     ("vsr_L3", 1, 8, 40 * 64, 8, 128, 32),
     ("base_L0", 2, 16, 40 * 64, 8, 40, 32),
     ("base_L1", 2, 16, 20 * 32, 8, 80, 32),
+    # TSR runs PLAIN temporal attention (rope 0) over 61 frames — the XLA
+    # path materializes fp32 f² scores (610 MB at L0)
+    ("tsr_L0", 2, 61, 40 * 64, 8, 40, 0),
+    ("tsr_L1", 2, 61, 20 * 32, 8, 80, 0),
 ]
 
 
