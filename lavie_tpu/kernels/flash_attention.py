@@ -177,6 +177,172 @@ def _flash_bhsd(q, k, v, scale, interpret=False, blkq_override=0):
     )(q, k, v)
 
 
+# ---------------------------------------------------------------------------
+# channel-major flash attention
+# ---------------------------------------------------------------------------
+
+
+def _flash_cmajor_kernel(
+    q_ref, k_ref, v_ref, o_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, kv_blocks: int, heads: int, head_dim: int,
+):
+    """Transposed-layout flash body. Blocks are (1, C, blk) with channels on
+    SUBLANES — the layout the channel-major projections' GEMMs already emit
+    (same bitcast trick as kernels/temporal_fused._kernel_v5):
+
+      sT  = kᵀ·q per head: dot_general((d, blk_k), (d, blk_q), contract dim0)
+            → (blk_k, blk_q). d sits in the CONTRACTION (its <128 size is a
+            systolic-array occupancy tax no layout can dodge), but M/N are
+            full tiles — no padded output lanes.
+      softmax runs per COLUMN (query): running max/denominator are (1, blk_q) rows,
+            reductions are sublane halving trees (the cheap VPU direction —
+            the row-major kernel reduces along lanes).
+      accT += v·p: dot_general((d, blk_k), (blk_k, blk_q), contract blk_k)
+            → (d, blk_q). K = blk_k ≥ 128 fills the array; d is only the
+            streamed M — no 3.2× padded-lane pv matmul (the row-major
+            kernel's probs·v pads its N=d output to 128 lanes).
+    """
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    d = head_dim
+
+    def subtree(x, op):  # (N, blk_q) → (1, blk_q) sublane halving tree
+        n = x.shape[0]
+        while n > 1:
+            if n % 2:  # fold the odd tail row into row 0 (128-multiples
+                # aren't powers of two: 640 halves to 5)
+                x = jnp.concatenate(
+                    [op(x[:1], x[n - 1:n]), x[1:n - 1]], axis=0
+                )
+                n -= 1
+            half = n // 2
+            x = op(x[:half], x[half:n])
+            n = half
+        return x
+
+    for h in range(heads):
+        q = q_ref[0, h * d:(h + 1) * d]  # (d, blk_q)
+        k = k_ref[0, h * d:(h + 1) * d]  # (d, blk_k)
+        v = v_ref[0, h * d:(h + 1) * d]
+        sT = jax.lax.dot_general(
+            k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (blk_k, blk_q)
+
+        m_prev = m_scr[h:h + 1]  # (1, blk_q)
+        m_new = jnp.maximum(m_prev, subtree(sT, jnp.maximum))
+        p = jnp.exp(sT - m_new)  # row broadcast over blk_k sublanes
+        correction = jnp.exp(m_prev - m_new)
+        l_new = correction * l_scr[h:h + 1] + subtree(p, jnp.add)
+
+        acc = acc_scr[h * d:(h + 1) * d] * correction  # (d, blk_q)
+        acc = acc + jax.lax.dot_general(
+            v, p.astype(v.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[h:h + 1] = m_new
+        l_scr[h:h + 1] = l_new
+        acc_scr[h * d:(h + 1) * d] = acc
+
+        @pl.when(kj == kv_blocks - 1)
+        def _finalize():
+            o_ref[0, h * d:(h + 1) * d] = (acc / l_new).astype(o_ref.dtype)
+
+
+def flash_cmajor_supported(heads: int, head_dim: int, seq_q: int,
+                           seq_k: int) -> bool:
+    """Channel-major flash gate: head slices sublane-granular, both sequence
+    dims lane-tileable. Engaged by SparseCausalAttention (d=40: the row-major
+    kernel pays a 3.2× padded-lane pv matmul and lane-direction softmax)."""
+    c = heads * head_dim
+    if head_dim % 8 != 0 or c > 2048:
+        return False
+    return _pick_block(seq_q, 640) >= 128 and _pick_block(seq_k) >= 128
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "scale", "interpret", "blkq_override",
+                     "blkk_override"),
+)
+def _flash_cmajor_call(q, k, v, heads, scale, interpret=False,
+                       blkq_override=0, blkk_override=0):
+    """q: (B, C, Sq), k/v: (B, C, Sk) channel-major → (B, C, Sq)."""
+    b, c, seq_q = q.shape
+    seq_k = k.shape[2]
+    d = c // heads
+    # big q blocks + small kv blocks measured best at the TSR L0 shape
+    # (1280/256: 55.1 ms vs 64.1 at 640/1024 — the q tile amortizes across
+    # kv steps and the fp32 score tile stays small)
+    blk_q = _pick_block(seq_q, blkq_override or 1280)
+    blk_k = _pick_block(seq_k, blkk_override or 256)
+
+    def vmem_est(bq, bk):
+        # double-buffered bf16 q/o + k/v tiles, fp32 acc + scores/probs (+ a
+        # bf16 p copy for the pv dot), (8, blk_q) m/l rows
+        return ((2 * c * bq + 2 * c * bk) * 2 * 2
+                + c * bq * 4 + 2 * bk * bq * 4 + bk * bq * 2
+                + 2 * 8 * bq * 4)
+
+    while vmem_est(blk_q, blk_k) > 12 * 1024 * 1024 and max(blk_q, blk_k) > 128:
+        if blk_k >= blk_q and blk_k > 128:
+            blk_k = _pick_block(seq_k, blk_k // 2)
+        else:
+            blk_q = _pick_block(seq_q, blk_q // 2)
+    kv_blocks = seq_k // blk_k
+
+    grid = (b, seq_q // blk_q, kv_blocks)
+    hs = max(heads, 8)  # sublane-aligned per-head m/l scratch rows
+    return pl.pallas_call(
+        functools.partial(
+            _flash_cmajor_kernel, scale=scale, kv_blocks=kv_blocks,
+            heads=heads, head_dim=d,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, c, blk_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, c, blk_k), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, c, blk_k), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, c, blk_q), lambda b, i, j: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, c, seq_q), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hs, blk_q), jnp.float32),
+            pltpu.VMEM((hs, blk_q), jnp.float32),
+            pltpu.VMEM((c, blk_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def flash_cmajor(
+    q: jnp.ndarray,  # (B, C, Sq) channel-major, heads contiguous along C
+    k: jnp.ndarray,  # (B, C, Sk)
+    v: jnp.ndarray,
+    *,
+    heads: int,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention over channel-major tensors; returns (B, C, Sq)."""
+    import os
+
+    return _flash_cmajor_call(
+        q, k, v, heads, scale, interpret,
+        int(os.environ.get("LAVIE_FC_BLKQ", "0") or 0),
+        int(os.environ.get("LAVIE_FC_BLKK", "0") or 0),
+    )
+
+
 def flash_attention(
     q: jnp.ndarray,  # (B, S, H, D)
     k: jnp.ndarray,

@@ -372,10 +372,70 @@ class SparseCausalAttention(nn.Module):
             self.query_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out_0"
         )
 
+    def cmajor_supported(self, s: int) -> bool:
+        """Channel-major fused path gate (kernels/flash_attention.flash_cmajor):
+        projections emit (B·F, C, S) directly — no (b f h) s d transposes —
+        and the kernel's transposed blocks kill the row-major pv matmul's
+        padded output lanes (d=40 → 128) and move the softmax reductions to
+        the cheap sublane direction. Disable with LAVIE_FLASH_CMAJOR=0."""
+        import os
+
+        if os.environ.get("LAVIE_FLASH_CMAJOR", "1") != "1":
+            return False
+        if os.environ.get("LAVIE_DISABLE_FLASH") == "1":
+            return False
+        from lavie_tpu.kernels.attention import _on_tpu
+        from lavie_tpu.kernels.flash_attention import flash_cmajor_supported
+
+        return _on_tpu() and flash_cmajor_supported(
+            self.heads, self.head_dim, s, 2 * s
+        )
+
+    def cmajor(self, hidden_states: jnp.ndarray, video_length: int) -> jnp.ndarray:
+        """Channel-major sparse-causal attention over (B·F, S, C) input."""
+        import jax
+
+        bf, s, _ = hidden_states.shape
+        f = video_length
+        b = bf // f
+        e = self.heads * self.head_dim
+
+        def proj_cm(dense):  # (BF, S, C) × (C, E) → (BF, E, S)
+            w = dense.variables["params"]["kernel"].astype(self.dtype)
+            out = jax.lax.dot_general(
+                w.T, hidden_states, (((1,), (2,)), ((), ()))
+            )  # (E, BF, S) — M=E on the GEMM output sublanes
+            return jnp.transpose(out, (1, 0, 2))  # bitcast of the tiled layout
+
+        q = proj_cm(self.to_q)
+        k = proj_cm(self.to_k)
+        v = proj_cm(self.to_v)
+
+        def sparse_cm(x):  # kv tokens = concat(frame 0, frame i-1) per frame
+            x = x.reshape(b, f, e, s)
+            anchor = jnp.broadcast_to(x[:, 0:1], x.shape)
+            prev = jnp.concatenate([x[:, 0:1], x[:, :-1]], axis=1)
+            return jnp.concatenate([anchor, prev], axis=3).reshape(bf, e, 2 * s)
+
+        from lavie_tpu.kernels.flash_attention import flash_cmajor
+
+        out = flash_cmajor(
+            q, sparse_cm(k), sparse_cm(v),
+            heads=self.heads, scale=self.head_dim**-0.5,
+        )  # (BF, E, S)
+        # out-projection consumes channel-major directly: contract E off the
+        # sublane dim → (BF, S, C)
+        wo = self.to_out_0.variables["params"]["kernel"].astype(self.dtype)
+        bo = self.to_out_0.variables["params"]["bias"].astype(self.dtype)
+        y = jax.lax.dot_general(out, wo, (((1,), (0,)), ((), ())))
+        return y + bo
+
     def __call__(self, hidden_states: jnp.ndarray, video_length: int) -> jnp.ndarray:
         bf, s, _ = hidden_states.shape
         f = video_length
         b = bf // f
+        if not self.is_initializing() and self.cmajor_supported(s):
+            return self.cmajor(hidden_states, video_length)
         q = self.to_q(hidden_states)
         k = self.to_k(hidden_states)
         v = self.to_v(hidden_states)

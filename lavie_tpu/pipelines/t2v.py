@@ -198,9 +198,13 @@ class TextToVideoPipeline:
         eta: float,
         decode_chunk: int,
         with_image: bool = False,
+        with_text_states: bool = False,
     ):
         """Returns a jitted fn(params, token_ids, init_noise, noise_key,
-        guidance_scale) → uint8 video."""
+        guidance_scale) → uint8 video. With `with_text_states`, the second
+        argument is the pre-computed (2B, L, D) [uncond; cond] text states
+        instead of token ids (parity-harness flow: isolates denoise/decode
+        diffs from text-encoder diffs)."""
         cfg = self.sampling
         schedule = self.schedule
         f = self.vae_config.downscale_factor
@@ -239,9 +243,12 @@ class TextToVideoPipeline:
 
         def sample_fn(params, token_ids, init_noise, noise_key, guidance_scale, image=None):
             # --- text encoding: (2B, 77) [uncond; cond] → (2B, 77, D) ---
-            text_states = text_encoder.apply(
-                {"params": params["text_encoder"]}, token_ids
-            ).astype(dtype)
+            if with_text_states:
+                text_states = token_ids.astype(dtype)  # injected states
+            else:
+                text_states = text_encoder.apply(
+                    {"params": params["text_encoder"]}, token_ids
+                ).astype(dtype)
 
             if with_image:
                 # image conditioning: CLIP vision tokens → mapper → concat
@@ -344,7 +351,7 @@ class TextToVideoPipeline:
 
     def _build_stepwise(self, batch, video_length, height, width,
                         num_inference_steps, sample_method, decode_chunk,
-                        with_image):
+                        with_image, with_text_states=False):
         cfg = self.sampling
         schedule = self.schedule
         f = self.vae_config.downscale_factor
@@ -375,9 +382,12 @@ class TextToVideoPipeline:
 
         @jax.jit
         def text_fn(params, token_ids, image=None):
-            text_states = text_encoder.apply(
-                {"params": params["text_encoder"]}, token_ids
-            ).astype(dtype)
+            if with_text_states:
+                text_states = token_ids.astype(dtype)  # injected states
+            else:
+                text_states = text_encoder.apply(
+                    {"params": params["text_encoder"]}, token_ids
+                ).astype(dtype)
             if with_image:
                 img_states = vision_encoder.apply(
                     {"params": params["vision_encoder"]}, image.astype(dtype)
@@ -523,7 +533,11 @@ class TextToVideoPipeline:
         seed: Optional[int] = 0,
         latents: Optional[np.ndarray] = None,
         decode_chunk: int = 0,
+        text_states: Optional[np.ndarray] = None,
     ) -> PipelineOutput:
+        """`text_states` (2B, L, D) [uncond; cond] bypasses the text encoder
+        — the parity-harness flow isolating denoise/decode diffs from
+        text-encoder diffs (the reference analog injects prompt_embeds)."""
         cfg = self.sampling
         if latents is not None and video_length is None:
             # injected latents define the sample dims (parity harness flow)
@@ -541,12 +555,17 @@ class TextToVideoPipeline:
 
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         batch = len(prompts)
-        # [uncond; cond] token batch — uncond first so CFG splits cleanly
-        token_ids = jnp.asarray(
-            np.concatenate(
-                [self.tokenizer([negative_prompt] * batch), self.tokenizer(prompts)], axis=0
+        with_text_states = text_states is not None
+        if with_text_states:
+            token_ids = jnp.asarray(text_states)  # (2B, L, D) injected states
+            batch = token_ids.shape[0] // 2
+        else:
+            # [uncond; cond] token batch — uncond first so CFG splits cleanly
+            token_ids = jnp.asarray(
+                np.concatenate(
+                    [self.tokenizer([negative_prompt] * batch), self.tokenizer(prompts)], axis=0
+                )
             )
-        )
 
         key = jax.random.PRNGKey(seed if seed is not None else 0)
         lat_key, noise_key = jax.random.split(key)
@@ -586,17 +605,19 @@ class TextToVideoPipeline:
             img = jnp.asarray(np.broadcast_to(img, (batch,) + img.shape[1:]))
 
         cache_key = (batch, video_length, height, width, steps, method,
-                     decode_chunk, with_image, self.loop_mode, self.scan_chunk)
+                     decode_chunk, with_image, with_text_states,
+                     self.loop_mode, self.scan_chunk)
         if cache_key not in self._compiled:
             if self.loop_mode in ("python", "hybrid"):
                 self._compiled[cache_key] = self._build_stepwise(
                     batch, video_length, height, width, steps, method,
-                    decode_chunk, with_image,
+                    decode_chunk, with_image, with_text_states,
                 )
             else:
                 self._compiled[cache_key] = self._build_sampler(
                     batch, video_length, height, width, steps, method, cfg.eta,
                     decode_chunk, with_image=with_image,
+                    with_text_states=with_text_states,
                 )
         if with_image:
             video = self._compiled[cache_key](

@@ -281,12 +281,38 @@ def install() -> None:
         ConfigMixin=ConfigMixin, register_to_config=register_to_config,
         FrozenDict=FrozenDict,
     )
+    def randn_tensor(shape, generator=None, device=None, dtype=None):
+        # diffusers.utils.randn_tensor — reached only by eta>0 DDIM steps
+        return torch.randn(tuple(shape), generator=generator, dtype=dtype)
+
     diffusers.utils = mod(
         "diffusers.utils", BaseOutput=BaseOutput, logging=_LoggingShim(),
+        randn_tensor=randn_tensor,
     )
     sys.modules["diffusers.utils"].import_utils = mod(
         "diffusers.utils.import_utils",
         is_xformers_available=is_xformers_available,
+    )
+    # ------------------------------------------------------------------
+    # diffusers.schedulers.scheduling_utils — imported by the vendored
+    # vsr/diffusion/scheduling_ddim.py (class bases + a compat-name list)
+    # ------------------------------------------------------------------
+    import enum
+
+    class KarrasDiffusionSchedulers(enum.Enum):
+        DDIMScheduler = 1
+        DDPMScheduler = 2
+        PNDMScheduler = 3
+        EulerDiscreteScheduler = 4
+
+    class SchedulerMixin:
+        pass
+
+    diffusers.schedulers = mod("diffusers.schedulers")
+    diffusers.schedulers.scheduling_utils = mod(
+        "diffusers.schedulers.scheduling_utils",
+        KarrasDiffusionSchedulers=KarrasDiffusionSchedulers,
+        SchedulerMixin=SchedulerMixin,
     )
     diffusers.models = mod("diffusers.models")
     diffusers.models.attention = mod(
@@ -335,6 +361,10 @@ _PKG_PATHS = {
     "base": f"{REFERENCE_ROOT}/base/models",
     "interpolation": f"{REFERENCE_ROOT}/interpolation/models",
     "vsr": f"{REFERENCE_ROOT}/vsr/models",
+    # the vendored diffusers-0.16 DDIM scheduler (vsr/diffusion/) — its
+    # `step` body is the stock diffusers step; the base pipeline golden
+    # drives it with stock arange spacing (base/pipelines/sample.py:44-60)
+    "vsr_diffusion": f"{REFERENCE_ROOT}/vsr/diffusion",
 }
 
 

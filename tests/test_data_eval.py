@@ -97,6 +97,7 @@ class TestFVD:
         far = rng.randn(128, 4) + 3.0
         assert frechet_distance(a, near) < frechet_distance(a, far)
 
+    @pytest.mark.slow  # R3D feature pass ~10s
     def test_compute_fvd_runs(self):
         rng = np.random.RandomState(0)
         real = (rng.rand(4, 4, 32, 32, 3) * 255).astype(np.uint8)

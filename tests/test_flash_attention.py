@@ -88,3 +88,77 @@ class TestCrossLengthFlash:
         k = jnp.zeros((1, 5120, 8, 40))
         assert flash_supported_shape(q, k, allow_padding=True)
         assert not flash_supported_shape(q, k)  # strict gate: padding + Sq!=Sk
+
+
+class TestFlashCmajor:
+    """Channel-major flash (transposed blocks — kernels described in
+    _flash_cmajor_kernel) vs the XLA reference."""
+
+    def _run(self, b, sq, sk, h, d, dtype, seed):
+        from lavie_tpu.kernels.flash_attention import flash_cmajor
+
+        rng = np.random.RandomState(seed)
+        c = h * d
+        q = jnp.asarray(rng.randn(b, c, sq), dtype)
+        k = jnp.asarray(rng.randn(b, c, sk), dtype)
+        v = jnp.asarray(rng.randn(b, c, sk), dtype)
+        scale = d**-0.5
+        out = flash_cmajor(q, k, v, heads=h, scale=scale, interpret=True)
+
+        def rows(x):
+            s = x.shape[2]
+            return jnp.transpose(x, (0, 2, 1)).reshape(b, s, h, d)
+
+        ref = _xla_attention(rows(q), rows(k), rows(v), None, scale)
+        ref = jnp.transpose(ref.reshape(b, sq, c), (0, 2, 1))
+        return out, ref
+
+    @pytest.mark.parametrize("d", [40, 64])
+    def test_matches_reference_fp32(self, d):
+        out, ref = self._run(1, 256, 512, 2, d, jnp.float32, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_matches_reference_bf16_multihead(self):
+        out, ref = self._run(2, 256, 512, 8, 40, jnp.bfloat16, 4)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.06
+        )
+        assert out.dtype == jnp.bfloat16
+
+    def test_supported_gate(self):
+        from lavie_tpu.kernels.flash_attention import flash_cmajor_supported
+
+        assert flash_cmajor_supported(8, 40, 2560, 5120)  # TSR L0
+        assert flash_cmajor_supported(16, 40, 640, 1280)  # TSR L1
+        assert not flash_cmajor_supported(8, 44, 2560, 5120)  # d not 8-aligned
+        assert not flash_cmajor_supported(8, 40, 100, 200)  # untileable seq
+
+
+class TestSparseCausalCmajorPath:
+    def test_module_cmajor_matches_standard(self, monkeypatch):
+        """SparseCausalAttention channel-major path (projections emit
+        (BF, C, S), kv built on the channel-major layout, out-projection
+        contracts the sublane dim) must match the standard path."""
+        from lavie_tpu.nn.attention import SparseCausalAttention
+
+        attn = SparseCausalAttention(query_dim=32, heads=2, head_dim=16)
+        rng = np.random.RandomState(5)
+        b, f, s, c = 1, 3, 128, 32
+        x = jnp.asarray(rng.randn(b * f, s, c), jnp.float32)
+        params = attn.init(jax.random.PRNGKey(0), x, f)
+
+        std = attn.apply(params, x, f)
+
+        # drive the cmajor path directly (the gate requires a TPU; the
+        # kernel runs under interpret via monkeypatched flash_cmajor)
+        import lavie_tpu.kernels.flash_attention as fa
+
+        orig = fa.flash_cmajor
+        monkeypatch.setattr(
+            fa, "flash_cmajor",
+            lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+        )
+        cm = attn.apply(params, x, f, method=SparseCausalAttention.cmajor)
+        np.testing.assert_allclose(np.asarray(cm), np.asarray(std),
+                                   atol=2e-5, rtol=1e-4)

@@ -187,3 +187,22 @@ def test_tiny_base_unet_golden():
     params = permute_rope_channels(params, heads=1, rot_dim=32)
     got = j2t(m.apply({"params": params}, x, t, ctx))
     np.testing.assert_allclose(got, outs["y"], atol=5e-4)
+
+
+@pytest.mark.slow
+def test_pipeline_level_golden_psnr():
+    """The full >=35 dB PSNR machinery, end-to-end and torch-free: replay the
+    committed pipeline-level golden (tools/dump_pipeline_golden.py — the
+    reference's own tiny base UNet driven by the reference denoise loop with
+    injected latents/text states, decoded by the torch VAE twin) through
+    TextToVideoPipeline via tools/parity_harness.run_tiny_golden. The
+    real-checkpoint parity run is this flow with the shipped configs
+    (reference loop: base/pipelines/pipeline_videogen.py:503-506, :663-689)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from parity_harness import run_tiny_golden
+
+    path = os.path.join(GOLDEN, "pipeline_base.npz")
+    psnr = run_tiny_golden(path)
+    assert psnr >= 35.0, f"pipeline-level PSNR {psnr:.2f} dB < 35"

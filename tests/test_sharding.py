@@ -160,3 +160,124 @@ class TestShardedPipeline:
         diff = np.abs(out.astype(np.int16) - ref.astype(np.int16))
         assert diff.max() <= 1, diff.max()
         assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
+
+
+def _collective_ops(hlo_text: str) -> set:
+    """Collective op kinds appearing in optimized HLO (async variants fold
+    onto their base name)."""
+    import re
+
+    kinds = ("all-gather", "all-reduce", "collective-permute", "all-to-all",
+             "reduce-scatter", "collective-broadcast")
+    found = set()
+    for k in kinds:
+        if re.search(rf"\b{k}(-start)?\b", hlo_text):
+            found.add(k)
+    return found
+
+
+class TestCollectiveAudit:
+    """HLO-level audit of the multi-chip programs (VERDICT r2 #6): the v5e-8
+    projection assumes specific collective sets — these tests FAIL if GSPMD
+    starts inserting anything else. Reference behavior being replaced:
+    serial VSR windows on one GPU (reference: vsr/sample.py:100-119)."""
+
+    def _compiled_unet(self, cfg, mesh, x_spec, batch, frames, hw=16,
+                       class_labels=None):
+        model = UNet3D(config=cfg)
+        x = jnp.zeros((batch, frames, hw, hw, cfg.in_channels), jnp.float32)
+        ctx = jnp.zeros((batch, 7, cfg.cross_attention_dim), jnp.float32)
+        t = jnp.zeros((batch,), jnp.int32)
+        args = (x, t, ctx) + ((class_labels,) if class_labels is not None else ())
+        params = jax.eval_shape(lambda r: model.init(r, *args), jax.random.PRNGKey(0))
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+
+        in_shardings = (
+            NamedSharding(mesh, P()),  # params replicated
+            NamedSharding(mesh, x_spec),
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
+        ) + ((NamedSharding(mesh, P()),) if class_labels is not None else ())
+        fn = jax.jit(
+            lambda p, x, t, c, *cl: model.apply(p, x, t, c, *cl),
+            in_shardings=in_shardings,
+        )
+        lowered = fn.lower(params, *args)
+        compiled = lowered.compile()
+        return compiled
+
+    def test_window_dp_vsr_has_no_collectives(self):
+        """Window-dp VSR: windows are independent — the batched program must
+        contain NO cross-window collectives (each chip denoises its window
+        locally; the v5e-8 projection's 'all 8 windows ≈ one window' rests on
+        exactly this)."""
+        mesh = make_mesh(jax.devices()[:2], dp=2, sp=1, tp=1)
+        cfg = UNetConfig.vsr().tiny()
+        compiled = self._compiled_unet(
+            cfg, mesh, P("dp"), batch=2, frames=2,
+            class_labels=jnp.zeros((2,), jnp.int32),
+        )
+        found = _collective_ops(compiled.as_text())
+        assert found == set(), f"unexpected collectives in window-dp VSR: {found}"
+
+    def test_frame_sharded_base_collectives_are_temporal_only(self):
+        """Frame-sharded base UNet: spatial convs/attention/GroupNorm are
+        per-frame (no communication); only the f×f temporal attention needs
+        cross-frame data → all-gathers (SURVEY §5.7). Anything else appearing
+        here (all-to-all resharding, reduce-scatter) would invalidate the
+        projection's 'collectives ride ICI around temporal attention only'.
+        The observed set: all-gather (k/v frame rows) + all-reduce (the
+        probs·v contraction over the sharded frame axis emits partial sums)
+        + collective-permute (GSPMD resharding)."""
+        mesh = make_mesh(jax.devices()[:4], dp=1, sp=4, tp=1)
+        cfg = UNetConfig.base_t2v().tiny()
+        compiled = self._compiled_unet(cfg, mesh, P(None, "sp"), batch=1, frames=4)
+        found = _collective_ops(compiled.as_text())
+        assert found, "frame-sharded base UNet compiled with NO collectives?"
+        allowed = {"all-gather", "collective-permute", "all-reduce"}
+        assert found <= allowed, f"unexpected collectives: {found - allowed}"
+
+    def test_height_sharded_tsr_collectives(self):
+        """Height-sharded TSR (61 output frames are prime — sp can't divide
+        them): expected communication is conv halo exchange
+        (collective-permute or halo all-gathers), gathers/reductions for the
+        spatial attention and GroupNorm stats across height shards, and
+        all-to-alls where GSPMD reshards between the spatial-token fold
+        ((b f) (h w) c — H mixed into tokens) and the frame-row layout
+        ((b h w) f c) around temporal attention. This is why height-shard is
+        the FALLBACK sharding (frame-shard needs none of the all-to-alls)."""
+        mesh = make_mesh(jax.devices()[:4], dp=1, sp=4, tp=1)
+        cfg = UNetConfig.interpolation().tiny()
+        compiled = self._compiled_unet(cfg, mesh, P(None, None, "sp"),
+                                       batch=2, frames=3)
+        found = _collective_ops(compiled.as_text())
+        assert found, "height-sharded TSR compiled with NO collectives?"
+        allowed = {"all-gather", "collective-permute", "all-reduce",
+                   "all-to-all"}
+        assert found <= allowed, f"unexpected collectives: {found - allowed}"
+
+    def test_per_chip_cost_accounting(self):
+        """Per-chip FLOPs from XLA cost analysis: the window-dp program's
+        per-chip cost must not exceed ~1/dp of the replicated cost (+10%
+        tolerance) — the arithmetic behind the v5e-8 option-4 projection."""
+        cfg = UNetConfig.vsr().tiny()
+        mesh = make_mesh(jax.devices()[:2], dp=2, sp=1, tp=1)
+        sharded = self._compiled_unet(
+            cfg, mesh, P("dp"), batch=2, frames=2,
+            class_labels=jnp.zeros((2,), jnp.int32),
+        )
+        mesh1 = make_mesh(jax.devices()[:1], dp=1, sp=1, tp=1)
+        single = self._compiled_unet(
+            cfg, mesh1, P(), batch=2, frames=2,
+            class_labels=jnp.zeros((2,), jnp.int32),
+        )
+
+        def flops(compiled):
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+
+        f_sharded, f_single = flops(sharded), flops(single)
+        assert f_sharded > 0 and f_single > 0
+        assert f_sharded <= f_single / 2 * 1.10, (f_sharded, f_single)

@@ -110,6 +110,7 @@ def test_tsr_long_frame_shape_supported():
     assert (blk, hg) == (128, 1)
 
 
+@pytest.mark.slow  # 61-frame interpret run (~24s); short-frame variants stay fast
 def test_long_frame_hg1_matches_xla(monkeypatch):
     """Correctness of the f=61 hg=1 long-frame path (v5 only — the v2
     fallback's f² unroll is prohibitively slow under interpret)."""

@@ -12,6 +12,7 @@ from lavie_tpu.kernels.temporal_attention import (
 from lavie_tpu.nn.attention import TemporalAttention
 
 
+@pytest.mark.slow  # opt-in v1 kernel baseline; 36s of interpret time
 @pytest.mark.parametrize("f,h,d,s", [(8, 2, 16, 256), (16, 2, 8, 128), (4, 3, 24, 384)])
 def test_kernel_matches_xla_reference(f, h, d, s):
     key = jax.random.PRNGKey(0)

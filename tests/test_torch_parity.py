@@ -24,6 +24,7 @@ from lavie_tpu.nn.mapping import MappingNetwork
 
 
 class TestCLIPTextParity:
+    @pytest.mark.slow  # transformers build+compare ~38s/variant
     @pytest.mark.parametrize("act", ["quick_gelu", "gelu"])
     def test_matches_transformers_torch(self, act):
         """quick_gelu = the ViT-L towers; gelu = the x4-upscaler's OpenCLIP-H
@@ -197,6 +198,7 @@ class TestCLIPDualEncoderParity:
         np.testing.assert_allclose(np.asarray(t_got), t_ref, atol=1e-4)
         np.testing.assert_allclose(np.asarray(v_got), v_ref, atol=1e-4)
 
+    @pytest.mark.slow  # transformers CLIP build ~17s
     def test_scorer_cosine_matches_transformers(self):
         from transformers import CLIPModel as HFModel
 
@@ -307,6 +309,7 @@ class TestR3D18Parity:
         got = np.asarray(ours.apply({"params": params}, jnp.asarray(x_np)))
         np.testing.assert_allclose(got, want, atol=2e-4)
 
+    @pytest.mark.slow  # full-size by construction
     def test_full_size_key_layout(self):
         """Every torchvision r3d_18 state-dict key must land in our tree at
         the right shape (the converter errors on any mismatch)."""
@@ -554,6 +557,7 @@ class TestVAEParity:
 
         return VAE()
 
+    @pytest.mark.slow  # torch VAE twin ~15s
     def test_encode_decode_parity(self):
         import dataclasses
 

@@ -18,9 +18,12 @@ Workflow (needs the reference checkpoints, which are not in this image):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
@@ -46,13 +49,87 @@ def compare(name: str, ours: np.ndarray, ref: np.ndarray) -> None:
     )
 
 
+def run_tiny_golden(path: str) -> float:
+    """Replay a pipeline-level golden produced by tools/dump_pipeline_golden
+    (the reference's own tiny UNet + denoise loop + VAE decode with injected
+    latents/text states) through our TextToVideoPipeline and return the
+    end-to-end PSNR. This is the full ≥35 dB machinery — the real-checkpoint
+    run is this flow with the shipped configs (reference loop mirrored:
+    base/pipelines/pipeline_videogen.py:503-506, :663-689, :422-429)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from lavie_tpu.core.config import CLIPTextConfig, UNetConfig, VAEConfig
+    from lavie_tpu.io.convert import convert_state_dict, permute_rope_channels
+    from lavie_tpu.pipelines import TextToVideoPipeline
+
+    dump = np.load(path, allow_pickle=False)
+    meta = json.loads(str(dump["meta"]))
+    unet_cfg = UNetConfig(**{
+        k: tuple(v) if isinstance(v, list) else v for k, v in meta["unet"].items()
+    })
+    vae_cfg = VAEConfig(**{
+        k: tuple(v) if isinstance(v, list) else v for k, v in meta["vae"].items()
+    })
+
+    pipe = TextToVideoPipeline.init_random(
+        jax.random.PRNGKey(0), unet_config=unet_cfg, vae_config=vae_cfg,
+        text_config=CLIPTextConfig.vit_l().tiny(),
+        dtype=jnp.float32,  # the golden's torch side runs fp32
+    )
+    # weights stored fp16 (values on the fp16 grid — the torch run used the
+    # same rounded values), math fp32
+    unet_sd = {k[len("unet::"):]: dump[k].astype(np.float32)
+               for k in dump.files if k.startswith("unet::")}
+    vae_sd = {k[len("vae::"):]: dump[k].astype(np.float32)
+              for k in dump.files if k.startswith("vae::")}
+    unet_params = convert_state_dict(pipe.params["unet"], unet_sd, strict_unused=True)
+    unet_params = permute_rope_channels(
+        unet_params, heads=unet_cfg.num_attention_heads, rot_dim=unet_cfg.rope_dim
+    )
+    vae_params = convert_state_dict(pipe.params["vae"], vae_sd, strict_unused=True)
+    pipe.params = dict(pipe.params, unet=unet_params, vae=vae_params)
+
+    lat = np.transpose(dump["latents"], (0, 2, 3, 4, 1))  # BCFHW → BFHWC
+    out = pipe(
+        "", latents=lat, text_states=jnp.asarray(dump["text_states"]),
+        num_inference_steps=int(meta["steps"]),
+        guidance_scale=float(meta["guidance"]),
+        sample_method="ddim",
+    ).video
+    ref_video = dump["video"]
+    compare("pipeline.video(uint8)", out.astype(np.float32),
+            ref_video.astype(np.float32))
+    p = psnr(out, ref_video)
+    print(f"end-to-end PSNR vs reference loop: {p:.2f} dB (target ≥ 35)")
+    return p
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--dump", required=True, help=".npz of reference tensors")
+    p.add_argument("--dump", help=".npz of reference tensors")
+    p.add_argument("--tiny-golden", help="pipeline-level golden npz "
+                   "(tools/dump_pipeline_golden.py) — self-contained replay")
     p.add_argument("--ckpt", help="lavie_base.pt for weight conversion")
     p.add_argument("--sd-path", help="stable-diffusion-v1-4 folder")
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon sitecustomize pins "
+                        "the TPU programmatically, so the env var alone is "
+                        "not enough)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.tiny_golden:
+        return run_tiny_golden(args.tiny_golden)
+    if not args.dump:
+        raise SystemExit("one of --dump / --tiny-golden is required")
 
     import jax
     import jax.numpy as jnp
