@@ -32,7 +32,7 @@ jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.lavie_tpu_
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def build(stage: str, dtype=jnp.bfloat16):
+def build(stage: str, dtype=jnp.bfloat16, frames: int = 0):
     from lavie_tpu.core.config import UNetConfig
     from lavie_tpu.nn.unet import UNet3D
 
@@ -50,7 +50,7 @@ def build(stage: str, dtype=jnp.bfloat16):
         class_labels = None
     elif stage == "vsr":
         cfg = UNetConfig.vsr()
-        b, f, h, w = 1, 8, 320, 512
+        b, f, h, w = 1, frames or 8, 320, 512
         sample = jnp.zeros((b, f, h, w, cfg.in_channels), dtype)
         ctx = jnp.zeros((b, 77, 1024), dtype)
         class_labels = jnp.full((b,), 50, jnp.int32)
@@ -132,10 +132,11 @@ def main():
     ap.add_argument("stage", choices=["base", "tsr", "vsr"])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--frames", type=int, default=0, help="override frame count (vsr)")
     ap.add_argument("--group", action="store_true", help="group by fusion root name")
     args = ap.parse_args()
 
-    fn, fargs, flops = build(args.stage)
+    fn, fargs, flops = build(args.stage, frames=args.frames)
     print("warmup...", file=sys.stderr, flush=True)
     out = fn(*fargs)
     jax.block_until_ready(out)
