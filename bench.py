@@ -193,7 +193,35 @@ def bench_vsr():
     tail_times = [run(51 + i, tail) for i in range(2)]
     tail_best = min(tail_times)
     log(f"vsr: tail runs {[f'{t:.1f}s' for t in tail_times]}; best {tail_best:.1f}s/{tail}f-tail")
-    return best, tail_best
+
+    # opt-in int8 turbo window (nn/quant.py): same params (the quant path
+    # reads the exact param tree), int8 MXU convs. NOT the parity path —
+    # reported as its own line; the option-4 headline stays bf16.
+    turbo_best = None
+    if os.environ.get("BENCH_TURBO", "1") == "1" and not TINY:
+        import dataclasses
+
+        pipe_t = VideoSuperResolutionPipeline(
+            dataclasses.replace(pipe.unet_config, conv_quant="int8"),
+            pipe.vae_config, pipe.text_config, pipe.params,
+        )
+
+        def run_t(seed, nframes):
+            video = (rng.rand(nframes, h, w, 3) * 255).astype(np.uint8)
+            t0 = time.time()
+            out = pipe_t(video, prompt="a cat, 4k.",
+                         num_inference_steps=steps, seed=seed)
+            _ = np.asarray(out.video)
+            return time.time() - t0
+
+        log("vsr: compile + warmup int8 turbo window...")
+        t0 = time.time()
+        run_t(70, frames)
+        log(f"vsr: turbo compile+first-run {time.time()-t0:.1f}s")
+        turbo_times = [run_t(71 + i, frames) for i in range(2)]
+        turbo_best = min(turbo_times)
+        log(f"vsr: turbo runs {[f'{t:.1f}s' for t in turbo_times]}; best {turbo_best:.1f}s/window")
+    return best, tail_best, turbo_best
 
 
 def main():
@@ -218,7 +246,7 @@ def main():
             "vs_baseline": round(ROUND1_TSR_S / tsr_s, 4),
         })
     if "vsr" in STAGES:
-        vsr_s, vsr_tail_s = bench_vsr()
+        vsr_s, vsr_tail_s, vsr_turbo_s = bench_vsr()
         results.append({
             "metric": "VSR 8f window 320x512->1280x2048 50-step (incl. decode)",
             "value": round(vsr_s, 2), "unit": "s/window",
@@ -229,6 +257,12 @@ def main():
             "value": round(vsr_tail_s, 2), "unit": "s/window",
             "vs_baseline": round(ROUND1_VSR_WINDOW_S / vsr_tail_s, 4),
         })
+        if vsr_turbo_s is not None:
+            results.append({
+                "metric": "VSR 8f window, int8 turbo convs (opt-in, non-parity path)",
+                "value": round(vsr_turbo_s, 2), "unit": "s/window",
+                "vs_baseline": round(ROUND1_VSR_WINDOW_S / vsr_turbo_s, 4),
+            })
 
     # per-stage lines first, headline LAST (drivers that keep only one line
     # get the headline; drivers that keep all get the full breakdown)

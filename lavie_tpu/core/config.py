@@ -53,6 +53,9 @@ class UNetConfig:
     freq_shift: int = 0
     downsample_padding: int = 1
     mid_block_scale_factor: float = 1.0
+    # Opt-in int8 turbo conv path ("none" | "int8", nn/quant.py). NOT the
+    # parity path — quantization changes outputs; default off everywhere.
+    conv_quant: str = "none"
 
     # --- spatio-temporal variants across the cascade ---
     # "self": plain spatial self-attention (base; reference attention.py:433-441)

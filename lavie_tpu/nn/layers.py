@@ -144,6 +144,31 @@ class InflatedConv(nn.Module):
         video = x.ndim == 5
         if video:
             x, f = fold_frames(x)
+        # Opt-in int8 turbo path (nn/quant.py): init always runs the exact
+        # nn.Conv below so the param tree is identical in every mode; at
+        # apply time an eligible conv reads those same params and runs the
+        # dynamic-quant int8 conv instead. OFF unless the caller opened a
+        # conv_quant_scope — the parity path is bf16/fp32.
+        from lavie_tpu.nn.quant import int8_conv2d, quant_eligible
+
+        if (
+            not self.is_initializing()
+            and quant_eligible(
+                self.kernel_size, x.shape[-1], self.features, x.dtype
+            )
+        ):
+            p = self.variables["params"]["conv"]
+            x = int8_conv2d(
+                x,
+                p["kernel"],
+                p["bias"] if self.use_bias else None,
+                self.strides,
+                self.padding,
+                x.dtype,
+            )
+            if video:
+                x = unfold_frames(x, f)
+            return x
         # NOTE: a "1×1 conv as token GEMM" fast path was tried here and
         # REVERTED: neutral in the VSR forward (996.2 vs 994.8 ms) but a
         # measured −11% on the TSR sample (63.1 vs 56.7 s) — the dot-layout

@@ -461,6 +461,17 @@ class UNet3D(nn.Module):
     ):
         """Run the conditioning-independent prefix; returns the state to feed
         __call__(prefix=...) for each CFG half."""
+        from lavie_tpu.nn.quant import conv_quant_scope
+
+        with conv_quant_scope(self.config.conv_quant):
+            return self._forward_prefix(sample, timesteps, class_labels)
+
+    def _forward_prefix(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        class_labels: Optional[jnp.ndarray] = None,
+    ):
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
         emb = self._embed(timesteps, class_labels)
@@ -488,6 +499,23 @@ class UNet3D(nn.Module):
         they skip temporal attention and get their own text states.
         prefix: optional (sample, res_stack) from forward_prefix — skips the
         conditioning-independent leading blocks (split-CFG sharing)."""
+        from lavie_tpu.nn.quant import conv_quant_scope
+
+        with conv_quant_scope(self.config.conv_quant):
+            return self._forward(
+                sample, timesteps, encoder_hidden_states, class_labels,
+                image_frames, prefix,
+            )
+
+    def _forward(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+        class_labels: Optional[jnp.ndarray] = None,
+        image_frames: int = 0,
+        prefix=None,
+    ) -> jnp.ndarray:
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))

@@ -32,7 +32,9 @@ jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.lavie_tpu_
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def build(stage: str, dtype=jnp.bfloat16, frames: int = 0):
+def build(stage: str, dtype=jnp.bfloat16, frames: int = 0, quant: str = "none"):
+    import dataclasses
+
     from lavie_tpu.core.config import UNetConfig
     from lavie_tpu.nn.unet import UNet3D
 
@@ -57,6 +59,8 @@ def build(stage: str, dtype=jnp.bfloat16, frames: int = 0):
     else:
         raise SystemExit(f"unknown stage {stage}")
 
+    if quant != "none":
+        cfg = dataclasses.replace(cfg, conv_quant=quant)
     model = UNet3D(config=cfg, dtype=dtype)
     t = jnp.full((sample.shape[0],), 500, jnp.int32)
 
@@ -133,10 +137,11 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--frames", type=int, default=0, help="override frame count (vsr)")
+    ap.add_argument("--quant", default="none", help="conv_quant mode (int8 turbo)")
     ap.add_argument("--group", action="store_true", help="group by fusion root name")
     args = ap.parse_args()
 
-    fn, fargs, flops = build(args.stage, frames=args.frames)
+    fn, fargs, flops = build(args.stage, frames=args.frames, quant=args.quant)
     print("warmup...", file=sys.stderr, flush=True)
     out = fn(*fargs)
     jax.block_until_ready(out)
