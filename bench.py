@@ -203,7 +203,8 @@ def bench_vsr():
 
         pipe_t = VideoSuperResolutionPipeline(
             dataclasses.replace(pipe.unet_config, conv_quant="int8"),
-            pipe.vae_config, pipe.text_config, pipe.params,
+            dataclasses.replace(pipe.vae_config, conv_quant="int8"),
+            pipe.text_config, pipe.params,
         )
 
         def run_t(seed, nframes):

@@ -34,6 +34,13 @@ def build_pipeline(cfg: dict) -> VideoInterpolationPipeline:
     unet_cfg = mk(UNetConfig.interpolation(use_mask=use_mask))
     vae_cfg = mk(VAEConfig.sd())
     text_cfg = mk(CLIPTextConfig.vit_l())
+    # opt-in int8 turbo conv path (nn/quant.py) — NOT the parity path
+    quant = str(cfg.get("conv_quant", "none"))
+    if quant != "none":
+        import dataclasses
+
+        unet_cfg = dataclasses.replace(unet_cfg, conv_quant=quant)
+        vae_cfg = dataclasses.replace(vae_cfg, conv_quant=quant)
     sampling = SamplingConfig(
         video_length=cfg.get("num_frames", 61),
         num_inference_steps=cfg.get("num_sampling_steps", 50),

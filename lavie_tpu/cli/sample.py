@@ -56,6 +56,13 @@ def build_pipeline(cfg: dict) -> TextToVideoPipeline:
         unet_cfg = UNetConfig.base_t2v()
         vae_cfg = VAEConfig.sd()
         text_cfg = CLIPTextConfig.vit_l()
+    # opt-in int8 turbo conv path (nn/quant.py) — NOT the parity path
+    quant = str(cfg.get("conv_quant", "none"))
+    if quant != "none":
+        import dataclasses
+
+        unet_cfg = dataclasses.replace(unet_cfg, conv_quant=quant)
+        vae_cfg = dataclasses.replace(vae_cfg, conv_quant=quant)
 
     ckpt_path = cfg.get("ckpt_path")
     if ckpt_path and os.path.exists(str(ckpt_path)):

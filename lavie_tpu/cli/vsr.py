@@ -29,15 +29,17 @@ def build_pipeline(cfg: dict) -> VideoSuperResolutionPipeline:
     mk = (lambda c: c.tiny()) if tiny else (lambda c: c)
     # opt-in int8 turbo conv path (nn/quant.py) — NOT the parity path
     unet_cfg = mk(UNetConfig.vsr())
+    vae_cfg = mk(VAEConfig.vsr())
     quant = str(cfg.get("conv_quant", "none"))
     if quant != "none":
         import dataclasses
 
         unet_cfg = dataclasses.replace(unet_cfg, conv_quant=quant)
+        vae_cfg = dataclasses.replace(vae_cfg, conv_quant=quant)
     pipe = VideoSuperResolutionPipeline.init_random(
         jax.random.PRNGKey(10),
         unet_config=unet_cfg,
-        vae_config=mk(VAEConfig.vsr()),
+        vae_config=vae_cfg,
         text_config=mk(CLIPTextConfig.open_clip_h()),
         noise_level=cfg.get("noise_level", 50),
         window=cfg.get("window", 8),

@@ -192,6 +192,9 @@ class VAEConfig:
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
     mid_block_attention: bool = True
+    # opt-in int8 turbo convs (nn/quant.py) — NOT the parity path. Applies
+    # to the wide 3×3 codec convs; conv_in/conv_out/1×1 stay exact.
+    conv_quant: str = "none"
 
     @property
     def downscale_factor(self) -> int:

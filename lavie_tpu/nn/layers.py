@@ -122,6 +122,52 @@ class GroupNorm(nn.Module):
         )(x)
 
 
+class QuantConv2D(nn.Module):
+    """Drop-in for flax `nn.Conv` on (N, H, W, C) tensors with the opt-in
+    int8 turbo routing of InflatedConv. Param tree, init streams, and the
+    exact (non-quant) math are identical to nn.Conv — `kernel` (HWIO,
+    lecun_normal) and `bias` (zeros) at the module's own path — so swapping
+    call sites changes nothing for checkpoints or the bf16 parity path.
+    Used by the VAE, whose full-res decode convs are the last MXU-heavy
+    pass outside the UNet (reference decode: vsr/models/autoencoder_kl.py)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype
+        )
+        from lavie_tpu.nn.quant import int8_conv2d, quant_eligible
+
+        dt = self.dtype or jnp.result_type(x, kernel)
+        if not self.is_initializing() and quant_eligible(
+            self.kernel_size, x.shape[-1], self.features, dt
+        ):
+            return int8_conv2d(x, kernel, bias, self.strides, self.padding, dt)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+
+
 class InflatedConv(nn.Module):
     """Per-frame 2D convolution over (B, F, H, W, C) video tensors.
 

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from lavie_tpu.core.config import VAEConfig
-from lavie_tpu.nn.layers import GroupNorm
+from lavie_tpu.nn.quant import conv_quant_scope
+from lavie_tpu.nn.layers import GroupNorm, QuantConv2D
 
 Dtype = Any
 
@@ -38,10 +39,10 @@ class VAEResnetBlock(nn.Module):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         h = GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv1", **common)(h)
+        h = QuantConv2D(self.out_channels, (3, 3), padding="SAME", name="conv1", **common)(h)
         h = GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv2", **common)(h)
+        h = QuantConv2D(self.out_channels, (3, 3), padding="SAME", name="conv2", **common)(h)
         if self.in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut", **common)(x)
         return x + h
@@ -114,7 +115,7 @@ class Encoder(nn.Module):
             if i < len(boc) - 1:
                 # diffusers downsample: asymmetric (0,1) pad + VALID stride-2
                 x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-                x = nn.Conv(
+                x = QuantConv2D(
                     out_ch, (3, 3), strides=(2, 2), padding="VALID",
                     name=f"down_blocks_{i}_downsample", **common,
                 )(x)
@@ -175,7 +176,7 @@ class Decoder(nn.Module):
             if i < len(boc) - 1:
                 n, h, w, c = x.shape
                 x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-                x = nn.Conv(
+                x = QuantConv2D(
                     out_ch, (3, 3), padding="SAME", name=f"up_blocks_{i}_upsample", **common
                 )(x)
 
@@ -200,12 +201,14 @@ class AutoencoderKL(nn.Module):
         self.post_quant_conv = nn.Conv(lc, (1, 1), name="post_quant_conv", **common)
 
     def encode(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        moments = self.quant_conv(self.encoder(x))
+        with conv_quant_scope(self.config.conv_quant):
+            moments = self.quant_conv(self.encoder(x))
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return mean, jnp.clip(logvar, -30.0, 20.0)
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
-        return self.decoder(self.post_quant_conv(z))
+        with conv_quant_scope(self.config.conv_quant):
+            return self.decoder(self.post_quant_conv(z))
 
     def decode_mid(self, z: jnp.ndarray) -> jnp.ndarray:
         """Latent-resolution half of decode (post_quant_conv → conv_in →
@@ -219,12 +222,14 @@ class AutoencoderKL(nn.Module):
         (~1.3 GB bf16 for an 8-frame 320×512 window), and the batched mid
         attention runs flash at (B·F)×(h·w) sequence — callers with much
         larger window_batch or frame counts should chunk decode_mid itself."""
-        return self.decoder(self.post_quant_conv(z), phase="mid")
+        with conv_quant_scope(self.config.conv_quant):
+            return self.decoder(self.post_quant_conv(z), phase="mid")
 
     def decode_up(self, h: jnp.ndarray) -> jnp.ndarray:
         """Upsampling half of decode; memory-dominant, chunk per frame.
         decode_up(decode_mid(z)) ≡ decode(z) exactly."""
-        return self.decoder(h, phase="up")
+        with conv_quant_scope(self.config.conv_quant):
+            return self.decoder(h, phase="up")
 
     def __call__(self, x: jnp.ndarray, rng: Optional[jax.Array] = None):
         mean, logvar = self.encode(x)

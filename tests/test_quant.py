@@ -151,3 +151,52 @@ class TestInflatedConvQuant:
         # random-init nets amplify quant noise through GN; just bound it
         assert _rel_err(yq, y0) < 0.35
         assert not np.allclose(np.asarray(yq), np.asarray(y0))
+
+
+class TestVAEQuant:
+    """Opt-in int8 turbo in the VAE codec (QuantConv2D call sites)."""
+
+    def _vae(self, conv_quant="none"):
+        from lavie_tpu.core.config import VAEConfig
+        from lavie_tpu.nn.vae import AutoencoderKL
+
+        cfg = dataclasses.replace(VAEConfig.vsr().tiny(), conv_quant=conv_quant)
+        return AutoencoderKL(config=cfg, dtype=jnp.float32)
+
+    def test_param_tree_identical_and_off_by_default(self, monkeypatch):
+        monkeypatch.setattr(quant, "MIN_CHANNELS", 16)
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+        exact = self._vae("none")
+        turbo = self._vae("int8")
+        p1 = exact.init(jax.random.PRNGKey(1), z, method=exact.decode)
+        p2 = turbo.init(jax.random.PRNGKey(1), z, method=turbo.decode)
+        assert jax.tree.all(
+            jax.tree.map(lambda a, b: a.shape == b.shape and bool(jnp.all(a == b)), p1, p2)
+        )
+        # same params through the exact model twice: deterministic
+        y1 = exact.apply(p1, z, method=exact.decode)
+        y2 = exact.apply(p2, z, method=exact.decode)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def test_turbo_decode_bounded_drift(self, monkeypatch):
+        monkeypatch.setattr(quant, "MIN_CHANNELS", 16)
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 4))
+        exact = self._vae("none")
+        turbo = self._vae("int8")
+        p = exact.init(jax.random.PRNGKey(3), z, method=exact.decode)
+        ref = exact.apply(p, z, method=exact.decode)
+        got = turbo.apply(p, z, method=turbo.decode)
+        err = _rel_err(got, ref)
+        assert 0.0 < err < 0.2, err  # engaged and bounded (deep conv chain)
+
+    def test_two_phase_decode_consistent_under_quant(self, monkeypatch):
+        """decode_up(decode_mid(z)) ≡ decode(z) must hold in turbo mode too
+        (the scope wraps each phase identically)."""
+        monkeypatch.setattr(quant, "MIN_CHANNELS", 16)
+        z = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 4))
+        turbo = self._vae("int8")
+        p = turbo.init(jax.random.PRNGKey(5), z, method=turbo.decode)
+        whole = turbo.apply(p, z, method=turbo.decode)
+        mid = turbo.apply(p, z, method=turbo.decode_mid)
+        up = turbo.apply(p, mid, method=turbo.decode_up)
+        np.testing.assert_allclose(np.asarray(up), np.asarray(whole), atol=1e-5, rtol=1e-5)
