@@ -41,11 +41,13 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _pick_block(s: int, frames: int, cin: int, cout: int, ktaps: int,
-                with_res: bool, itemsize: int = 2) -> int:
+                with_res: bool, itemsize: int = 2, quant: str = "none") -> int:
     """Largest power-of-2 token block (≥128) whose VMEM footprint fits:
     x + silu'd copy + out (+ residual) blocks, the (k,C,O) weights, and the
     fp32 accumulator. `itemsize` is the activation dtype's bytes (2 bf16 /
-    4 fp32 — fp32 runs halve the admissible block)."""
+    4 fp32 — fp32 runs halve the admissible block). quant="int8" adds the
+    int8 activation copies (weights shrink to 1 byte but the estimate keeps
+    the bf16 figure as slack)."""
     blk = 512
     while blk >= 128:
         if s % blk == 0:
@@ -53,8 +55,9 @@ def _pick_block(s: int, frames: int, cin: int, cout: int, ktaps: int,
                 frames * blk * cin * itemsize * 2    # x block + normalized copy
                 + frames * blk * cout * itemsize     # out block
                 + (frames * blk * cout * itemsize if with_res else 0)
+                + (frames * blk * cin if quant == "int8" else 0)  # int8 copies
                 + ktaps * cin * cout * itemsize      # conv weights
-                + blk * cout * 4                     # fp32 accumulator
+                + blk * cout * 4                     # fp32/int32 accumulator
             )
             if est <= _VMEM_BUDGET:
                 return blk
@@ -145,14 +148,21 @@ def _kernel(x_ref, wa_ref, ua_ref, wc_ref, bo_ref, *rest, frames, ktaps,
 
 
 def _kernel_sfc(x_ref, wa_ref, ua_ref, wc_ref, bo_ref, *rest, frames, ktaps,
-                cin, cout, with_res, activation, emit_stats):
+                cin, cout, with_res, activation, emit_stats, quant="none"):
     """Token-major variant: blocks are (blk, F·C) with frames as lane
     slices. Same math as _kernel; the block's rows are S-contiguous so the
     HBM slab is contiguous in the (B, S, F, C) row-major layout — which is
     bit-identical to XLA's conv layout for (B, F, H, W, C) activations
     ({4,1,3,2,0}: memory order (H, W, F, C)), making the kernel boundary a
-    bitcast instead of a 2–4 ms transpose copy at the VSR L0 level."""
+    bitcast instead of a 2–4 ms transpose copy at the VSR L0 level.
+
+    quant="int8" (turbo, nn/quant.py semantics): the silu'd frame blocks
+    share ONE symmetric activation scale (block abs-max / 127) so the k-tap
+    accumulation stays int32 across taps; weights arrive pre-quantized with
+    per-output-channel scales (ws_ref). Dequant = one fp32 scale-multiply
+    per frame on the accumulator."""
     rest = list(rest)
+    ws_ref = rest.pop(0) if quant == "int8" else None
     res_ref = rest.pop(0) if with_res else None
     o_ref = rest.pop(0)
     s1_ref = rest.pop(0) if emit_stats else None
@@ -169,21 +179,44 @@ def _kernel_sfc(x_ref, wa_ref, ua_ref, wc_ref, bo_ref, *rest, frames, ktaps,
             _silu(((x[:, u * cin:(u + 1) * cin]) * wa + ua).astype(f32)).astype(x.dtype)
             for u in range(frames)
         ]
+    if quant == "int8":
+        am = jnp.max(jnp.abs(xn[0].astype(f32)), keepdims=True)
+        for u in range(1, frames):
+            am = jnp.maximum(am, jnp.max(jnp.abs(xn[u].astype(f32)), keepdims=True))
+        a_scale = jnp.maximum(am, 1e-12) / 127.0  # (1, 1) fp32
+        inv = 1.0 / a_scale
+        xn = [
+            jnp.clip(jnp.round(xn[u].astype(f32) * inv), -127.0, 127.0).astype(jnp.int8)
+            for u in range(frames)
+        ]
+        deq = a_scale * ws_ref[0]  # (1, O) fp32
     bo = bo_ref[0]  # (1, O) fp32
     if emit_stats:
         ones = jnp.ones((1, x.shape[0]), f32)
         loc1 = jnp.zeros((1, cout), f32)
         loc2 = jnp.zeros((1, cout), f32)
     for f in range(frames):
-        acc = jnp.broadcast_to(bo, (x.shape[0], cout)).astype(f32)
-        for j in range(ktaps):
-            u = f + j - pad
-            if 0 <= u < frames:
-                acc = acc + jax.lax.dot_general(
-                    xn[u], wc_ref[j],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
+        if quant == "int8":
+            iacc = jnp.zeros((x.shape[0], cout), jnp.int32)
+            for j in range(ktaps):
+                u = f + j - pad
+                if 0 <= u < frames:
+                    iacc = iacc + jax.lax.dot_general(
+                        xn[u], wc_ref[j],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+            acc = iacc.astype(f32) * deq + bo
+        else:
+            acc = jnp.broadcast_to(bo, (x.shape[0], cout)).astype(f32)
+            for j in range(ktaps):
+                u = f + j - pad
+                if 0 <= u < frames:
+                    acc = acc + jax.lax.dot_general(
+                        xn[u], wc_ref[j],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
         if with_res:
             acc = acc + res_ref[0][:, f * cout:(f + 1) * cout].astype(f32)
         out = acc.astype(o_ref.dtype)
@@ -212,16 +245,16 @@ def _kernel_sfc(x_ref, wa_ref, ua_ref, wc_ref, bo_ref, *rest, frames, ktaps,
 @functools.partial(
     jax.jit,
     static_argnames=("frames", "ktaps", "with_res", "activation",
-                     "emit_stats", "interpret"),
+                     "emit_stats", "interpret", "quant"),
 )
 def _conv_sfc(x, wa, ua, wc, bo, res, frames, ktaps, with_res, activation,
-              emit_stats, interpret):
+              emit_stats, interpret, quant="none"):
     """x: (B, S, F·C) token-major. Returns (B, S, F·O) (+ stats)."""
     b, s, fc = x.shape
     cin = fc // frames
     cout = wc.shape[-1]
     blk = _pick_block(s, frames, cin, cout, ktaps, with_res,
-                      jnp.dtype(x.dtype).itemsize)
+                      jnp.dtype(x.dtype).itemsize, quant)
     w_spec = lambda shape: pl.BlockSpec(shape, lambda bb, i: (0,) * len(shape))
     in_specs = [
         pl.BlockSpec((1, blk, fc), lambda bb, i: (bb, i, 0)),
@@ -230,7 +263,17 @@ def _conv_sfc(x, wa, ua, wc, bo, res, frames, ktaps, with_res, activation,
         w_spec((ktaps, cin, cout)),
         pl.BlockSpec((1, 1, cout), lambda bb, i: (bb, 0, 0)),
     ]
+    if quant == "int8":
+        # per-output-channel symmetric weight quant over (k, C) — matches
+        # nn/quant.py::int8_conv2d; the pass over the (k,C,O) taps is tiny
+        wf = wc.astype(jnp.float32)
+        w_amax = jnp.max(jnp.abs(wf), axis=(0, 1), keepdims=True)
+        w_scale = jnp.maximum(w_amax, 1e-12) / 127.0  # (1, 1, O)
+        wc = jnp.clip(jnp.round(wf / w_scale), -127.0, 127.0).astype(jnp.int8)
     args = [x, wa[:, None], ua[:, None], wc, bo[:, None]]
+    if quant == "int8":
+        in_specs.append(w_spec((1, cout)))
+        args.append(w_scale[0])
     if with_res:
         in_specs.append(pl.BlockSpec((1, blk, frames * cout), lambda bb, i: (bb, i, 0)))
         args.append(res)
@@ -243,6 +286,7 @@ def _conv_sfc(x, wa, ua, wc, bo, res, frames, ktaps, with_res, activation,
         functools.partial(
             _kernel_sfc, frames=frames, ktaps=ktaps, cin=cin, cout=cout,
             with_res=with_res, activation=activation, emit_stats=emit_stats,
+            quant=quant,
         ),
         grid=(b, s // blk),
         in_specs=in_specs,
@@ -270,11 +314,13 @@ def gn_silu_tconv_sfc(
     activation: str = "silu",
     emit_stats: bool = False,
     interpret: bool = False,
+    quant: str = "none",
 ):
     """gn_silu_tconv on the token-major (B, S, F, C) view. The (B,S,F,C)
     row-major layout matches XLA's conv layout for the same data as
     (B,F,H,W,C), so callers sitting between convolutions reach this kernel
-    through bitcasts (see nn/resnet.py ResnetBlock3DCNN._fused 5D path)."""
+    through bitcasts (see nn/resnet.py ResnetBlock3DCNN._fused 5D path).
+    quant="int8" runs the taps on the 2×-rate int8 MXU (turbo mode)."""
     b, s, frames, c = x.shape
     ktaps = conv_w.shape[0]
     dt = x.dtype
@@ -290,6 +336,7 @@ def gn_silu_tconv_sfc(
         ua.astype(jnp.float32), conv_w.astype(dt),
         out_bias.astype(jnp.float32), res,
         frames, ktaps, residual is not None, activation, emit_stats, interpret,
+        quant,
     )
     cout = conv_w.shape[-1]
     if emit_stats:
@@ -359,12 +406,17 @@ def gn_silu_tconv(
     activation: str = "silu",
     emit_stats: bool = False,
     interpret: bool = False,
+    quant: str = "none",
 ):
     """silu(GN-affine(x)) ⊛_frames conv_w + out_bias (+ residual), fused.
     activation="none" skips the GN affine + silu (wa/ua may be None).
     emit_stats=True additionally returns per-channel (Σ, Σ²) of the output
     over (F, S) as two (B, C) fp32 arrays — a consumer GroupNorm's moments
     without re-reading the tensor."""
+    if quant != "none":
+        raise NotImplementedError(
+            "int8 turbo is implemented only for the token-major sfc kernel"
+        )
     frames = x.shape[1]
     ktaps = conv_w.shape[0]
     dt = x.dtype

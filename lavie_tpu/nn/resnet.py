@@ -156,6 +156,27 @@ class ResnetBlock3DCNN(nn.Module):
 
         interpret = not _on_tpu() and os.environ.get("LAVIE_TRESBLOCK") == "force"
         out_ch = self.out_channels or self.in_channels
+        # int8 variant of the sfc kernel: MEASURED NEGATIVE, kept off even
+        # in turbo mode. Mosaic's int8×int8→int32 dot_general runs at ~the
+        # bf16 MXU rate on v5e (tools/bench_int8_pallas.py: 90-200 TF/s
+        # int8 ≈ bf16 at every working shape) — the 2×-rate int8 MXU path
+        # is only reachable through XLA's conv lowering (nn/quant.py), so
+        # in-kernel quantization adds error + VPU overhead for zero MXU
+        # gain. LAVIE_TRESBLOCK_INT8=1 re-enables for re-measurement on
+        # newer toolchains; math pinned by tests/test_temporal_resblock.py.
+        from lavie_tpu.nn.quant import MIN_CHANNELS, conv_quant_mode
+
+        quant = (
+            "int8"
+            if (
+                os.environ.get("LAVIE_TRESBLOCK_INT8") == "1"
+                and conv_quant_mode() == "int8"
+                and x.ndim == 5
+                and self.in_channels >= MIN_CHANNELS
+                and out_ch >= MIN_CHANNELS
+            )
+            else "none"
+        )
         p = self.variables["params"]
         shape = x.shape
         b, frames = shape[0], shape[1]
@@ -199,7 +220,7 @@ class ResnetBlock3DCNN(nn.Module):
         if os.environ.get("LAVIE_TRESBLOCK_STATS") == "1":
             h, hs1, hs2 = conv_fn(
                 v, w1, u1, c1["kernel"][:, 0], bias1, emit_stats=True,
-                interpret=interpret,
+                interpret=interpret, quant=quant,
             )
             n_tok = v.shape[1] * v.shape[2]
             w2, u2 = groupnorm_affine_from_moments(
@@ -208,7 +229,8 @@ class ResnetBlock3DCNN(nn.Module):
             )
         else:
             h = conv_fn(
-                v, w1, u1, c1["kernel"][:, 0], bias1, interpret=interpret
+                v, w1, u1, c1["kernel"][:, 0], bias1, interpret=interpret,
+                quant=quant,
             )
             w2, u2 = groupnorm_affine(
                 h, n2["scale"], n2["bias"], self.groups, self.eps
@@ -216,7 +238,8 @@ class ResnetBlock3DCNN(nn.Module):
         c2 = p["conv2"]["conv"]
         bias2 = jnp.broadcast_to(c2["bias"][None].astype(jnp.float32), (b, out_ch))
         y = conv_fn(
-            h, w2, u2, c2["kernel"][:, 0], bias2, residual=v, interpret=interpret
+            h, w2, u2, c2["kernel"][:, 0], bias2, residual=v,
+            interpret=interpret, quant=quant,
         )
         if x.ndim == 5:
             return jnp.transpose(

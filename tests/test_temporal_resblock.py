@@ -182,3 +182,106 @@ def test_sfc_activation_none():
         np.asarray(jnp.transpose(out, (0, 2, 1, 3))), np.asarray(ref),
         atol=1e-5, rtol=1e-5,
     )
+
+
+class TestSfcInt8Turbo:
+    """int8 quant path of the token-major kernel (turbo mode)."""
+
+    def _data(self, b=2, f=4, s=256, c=128, k=5, seed=21):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+        x = jax.random.normal(ks[0], (b, s, f, c))  # token-major
+        gamma = jax.random.normal(ks[1], (c,)) * 0.2 + 1.0
+        beta = jax.random.normal(ks[2], (c,)) * 0.2
+        wc = jax.random.normal(ks[3], (k, c, c)) * c**-0.5
+        bias = jax.random.normal(ks[4], (b, c)) * 0.1
+        res = jax.random.normal(ks[5], (b, s, f, c))
+        wa, ua = groupnorm_affine(
+            jnp.transpose(x, (0, 2, 1, 3)), gamma, beta, 32, 1e-6
+        )
+        return x, wa, ua, wc, bias, res
+
+    def test_matches_explicit_quant_oracle(self):
+        """Bit-level check vs the documented scheme: shared per-(batch,
+        token-block) activation scale, per-output-channel weight scales,
+        int32 tap accumulation. s == the picked block so the activation
+        scale is per-batch and the oracle is closed-form."""
+        from lavie_tpu.kernels.temporal_resblock import (
+            _pick_block,
+            gn_silu_tconv_sfc,
+        )
+
+        b, f, s, c, k = 2, 4, 256, 128, 5
+        assert _pick_block(s, f, c, c, k, False, 4, "int8") == s
+        x, wa, ua, wc, bias, _ = self._data(b, f, s, c, k)
+
+        xn = jax.nn.silu(
+            x.astype(jnp.float32) * wa[:, None, None] + ua[:, None, None]
+        )
+        a_scale = jnp.maximum(
+            jnp.max(jnp.abs(xn), axis=(1, 2, 3), keepdims=True), 1e-12
+        ) / 127.0  # (B,1,1,1): one block per batch
+        xq = jnp.clip(jnp.round(xn / a_scale), -127, 127).astype(jnp.int8)
+        w_scale = jnp.maximum(
+            jnp.max(jnp.abs(wc), axis=(0, 1), keepdims=True), 1e-12
+        ) / 127.0
+        wq = jnp.clip(jnp.round(wc / w_scale), -127, 127).astype(jnp.int8)
+        pad = k // 2
+        ref = jnp.zeros((b, s, f, c), jnp.int32)
+        for j in range(k):
+            lo, hi = max(0, pad - j), min(f, f + pad - j)
+            ref = ref.at[:, :, lo:hi].add(
+                jax.lax.dot_general(
+                    xq[:, :, lo + j - pad:hi + j - pad], wq[j],
+                    (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            )
+        ref = (
+            ref.astype(jnp.float32) * (a_scale * w_scale[0])
+            + bias[:, None, None]
+        )
+
+        out = gn_silu_tconv_sfc(
+            x, wa, ua, wc, bias, interpret=True, quant="int8"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
+    def test_close_to_bf16_with_residual(self):
+        """Quant error bound vs the exact kernel on gaussian data, incl.
+        the fused residual (which must stay exact — added after dequant)."""
+        from lavie_tpu.kernels.temporal_resblock import gn_silu_tconv_sfc
+
+        x, wa, ua, wc, bias, res = self._data(k=3)
+        exact = gn_silu_tconv_sfc(x, wa, ua, wc, bias, residual=res, interpret=True)
+        got = gn_silu_tconv_sfc(
+            x, wa, ua, wc, bias, residual=res, interpret=True, quant="int8"
+        )
+        err = np.linalg.norm(np.asarray(got - exact)) / np.linalg.norm(
+            np.asarray(exact)
+        )
+        assert err < 0.02, err
+
+    def test_module_quant_scope_routes_and_stays_close(self, monkeypatch):
+        """ResnetBlock3DCNN under conv_quant_scope('int8'): 5D fused path
+        quantizes (bounded drift), and the path is OFF outside the scope."""
+        from lavie_tpu.nn import quant
+
+        b, f, c = 1, 4, 128
+        x = jax.random.normal(jax.random.PRNGKey(30), (b, f, 4, 64, c))
+        block = ResnetBlock3DCNN(
+            in_channels=c, out_channels=c, kernel_frames=5,
+            temb_channels=None, groups=32,
+        )
+        params = block.init(jax.random.PRNGKey(31), x, None)
+        monkeypatch.setenv("LAVIE_TRESBLOCK", "force")
+        monkeypatch.setenv("LAVIE_TRESBLOCK_INT8", "1")  # measured-negative path, opt-in
+        monkeypatch.setattr(quant, "MIN_CHANNELS", 128)
+        ref = block.apply(params, x, None)
+        with quant.conv_quant_scope("int8"):
+            got = block.apply(params, x, None)
+        diff = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(np.asarray(ref))
+        assert 0.0 < diff < 0.05, diff  # engaged (nonzero) and bounded
+        again = block.apply(params, x, None)  # scope exited -> exact path
+        np.testing.assert_array_equal(np.asarray(again), np.asarray(ref))
