@@ -27,7 +27,8 @@ def main(argv=None):
     if tiny:
         print("[lavie_tpu] tiny cascade (random weights, smoke mode)", file=sys.stderr)
     pipe = VideoCascadePipeline.init_random(
-        jax.random.PRNGKey(cfg.get("seed") or 0), tiny=tiny
+        jax.random.PRNGKey(cfg.get("seed") or 0), tiny=tiny,
+        conv_quant=str(cfg.get("conv_quant", "none")),  # int8 = turbo (non-parity)
     )
 
     out_dir = cfg.get("output_folder", "./res/cascade/")

@@ -62,12 +62,22 @@ class VideoCascadePipeline:
         rng: jax.Array,
         tiny: bool = False,
         dtype: Any = None,
+        conv_quant: str = "none",
     ) -> "VideoCascadePipeline":
+        import dataclasses
+
         import jax.numpy as jnp
 
         dtype = dtype or jnp.bfloat16
         k1, k2, k3 = jax.random.split(rng, 3)
-        mk = (lambda c: c.tiny()) if tiny else (lambda c: c)
+        _mk = (lambda c: c.tiny()) if tiny else (lambda c: c)
+        # opt-in int8 turbo convs across all stages (nn/quant.py) — NOT the
+        # parity path; one switch for the whole cascade
+        def mk(c):
+            c = _mk(c)
+            if conv_quant != "none" and hasattr(c, "conv_quant"):
+                c = dataclasses.replace(c, conv_quant=conv_quant)
+            return c
         base = TextToVideoPipeline.init_random(
             k1,
             unet_config=mk(UNetConfig.base_t2v()),

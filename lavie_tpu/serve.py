@@ -29,9 +29,10 @@ class Predictor:
         ckpt_dir: Optional[str] = None,
         tiny: bool = False,
         seed: int = 0,
+        conv_quant: str = "none",
     ) -> None:
         self.pipeline = VideoCascadePipeline.init_random(
-            jax.random.PRNGKey(seed), tiny=tiny
+            jax.random.PRNGKey(seed), tiny=tiny, conv_quant=conv_quant
         )
         if ckpt_dir:
             self._load_checkpoints(ckpt_dir)

@@ -21,6 +21,10 @@ import os
 import sys
 import time
 
+# full-size scanned programs hang the axon remote compiler (see
+# .claude/skills/verify): use the chunked hybrid loop like bench.py
+os.environ.setdefault("LAVIE_LOOP_MODE", "hybrid")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
