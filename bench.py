@@ -8,10 +8,16 @@ Stages (select with BENCH_STAGES=base,tsr,vsr — default all):
   - vsr: one full 8-frame VSR window 320×512 → 1280×2048, 50 v-pred DDIM
     steps + fp32-interface decode (SURVEY §3.3) → s/window
 
-The FINAL stdout line is the headline metric the driver records:
-  - all three stages → single-chip option-4 total (base + tsr + 8·vsr),
-    vs_baseline = round-1 measured 953 s / value (≥1 = faster than r1);
-  - base only → frames/s vs the round-1 pin (back-compatible).
+Output contract (hardened after BENCH_r03 was lost to a timeout, rc 124):
+  - every per-stage JSON line is printed the MOMENT that stage finishes
+    (a timeout mid-run still leaves every completed stage on stdout);
+  - the option-4 headline is printed as soon as base+tsr+vsr are all
+    known, BEFORE any optional extra work;
+  - the FINAL stdout line is always the headline metric the driver
+    records: option-4 total when all three stages ran (re-printed last
+    if opt-in extras emitted lines after it), else the last stage line.
+  - int8 turbo is OPT-IN (BENCH_TURBO=1) and runs only after the
+    headline is already on stdout; default is off.
 
 Timing hygiene (DESIGN.md): fresh inputs per run (the axon tunnel dedupes
 identical dispatches) and np.asarray host materialization (block_until_ready
@@ -196,9 +202,10 @@ def bench_vsr():
 
     # opt-in int8 turbo window (nn/quant.py): same params (the quant path
     # reads the exact param tree), int8 MXU convs. NOT the parity path —
-    # reported as its own line; the option-4 headline stays bf16.
-    turbo_best = None
-    if os.environ.get("BENCH_TURBO", "1") == "1" and not TINY:
+    # reported as its own line AFTER the headline; the option-4 headline
+    # stays bf16. Returned as a thunk so main() can run it only once the
+    # headline is already on stdout (BENCH_r03 lesson).
+    def run_turbo():
         import dataclasses
 
         pipe_t = VideoSuperResolutionPipeline(
@@ -222,67 +229,77 @@ def bench_vsr():
         turbo_times = [run_t(71 + i, frames) for i in range(2)]
         turbo_best = min(turbo_times)
         log(f"vsr: turbo runs {[f'{t:.1f}s' for t in turbo_times]}; best {turbo_best:.1f}s/window")
-    return best, tail_best, turbo_best
+        return turbo_best
+
+    return best, tail_best, run_turbo
+
+
+def emit(line):
+    """Print a metric line IMMEDIATELY (streamed — see module docstring)."""
+    print(json.dumps(line), flush=True)
+    return line
 
 
 def main():
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
 
-    results = []
-    base_fps = base_s = tsr_s = vsr_s = vsr_tail_s = None
+    last = None
+    base_s = tsr_s = vsr_s = vsr_tail_s = None
+    vsr_turbo_fn = None
 
     if "base" in STAGES:
         base_fps, base_s = bench_base()
-        results.append({
+        last = emit({
             "metric": f"frames/sec/chip base T2V {FRAMES}x{HEIGHT}x{WIDTH} {STEPS}-step DDPM+CFG (full pipeline incl. text encode + VAE decode)",
             "value": round(base_fps, 4), "unit": "frames/s",
             "vs_baseline": round(base_fps / ROUND1_BASELINE_FPS, 4),
         })
     if "tsr" in STAGES:
         tsr_s = bench_tsr()
-        results.append({
+        last = emit({
             "metric": "TSR 16->61f @320x512 50-step sample (incl. VAE enc+dec)",
             "value": round(tsr_s, 2), "unit": "s/sample",
             "vs_baseline": round(ROUND1_TSR_S / tsr_s, 4),
         })
     if "vsr" in STAGES:
-        vsr_s, vsr_tail_s, vsr_turbo_s = bench_vsr()
-        results.append({
+        vsr_s, vsr_tail_s, vsr_turbo_fn = bench_vsr()
+        emit({
             "metric": "VSR 8f window 320x512->1280x2048 50-step (incl. decode)",
             "value": round(vsr_s, 2), "unit": "s/window",
             "vs_baseline": round(ROUND1_VSR_WINDOW_S / vsr_s, 4),
         })
-        results.append({
+        last = emit({
             "metric": "VSR 5f tail window 320x512->1280x2048 50-step (natural size, no padding)",
             "value": round(vsr_tail_s, 2), "unit": "s/window",
             "vs_baseline": round(ROUND1_VSR_WINDOW_S / vsr_tail_s, 4),
         })
-        if vsr_turbo_s is not None:
-            results.append({
-                "metric": "VSR 8f window, int8 turbo convs (opt-in, non-parity path)",
-                "value": round(vsr_turbo_s, 2), "unit": "s/window",
-                "vs_baseline": round(ROUND1_VSR_WINDOW_S / vsr_turbo_s, 4),
-            })
 
-    # per-stage lines first, headline LAST (drivers that keep only one line
-    # get the headline; drivers that keep all get the full breakdown)
+    # headline the moment all three stages are known — BEFORE any extras
     headline = None
     if base_s is not None and tsr_s is not None and vsr_s is not None:
         # 61 frames = 7 full 8-frame windows + the natural-size 5-frame tail
         opt4 = base_s + tsr_s + 7 * vsr_s + vsr_tail_s
-        headline = {
+        headline = emit({
             "metric": "option-4 single-chip total: base + TSR + 7 VSR windows + 5f tail (61f @ 1280x2048, 50 steps)",
             "value": round(opt4, 1), "unit": "s",
             "vs_baseline": round(ROUND1_OPTION4_S / opt4, 4),
-        }
-    elif results:
-        headline = results.pop()
+        })
 
-    for r in results:
-        print(json.dumps(r))
-    if headline is not None:
-        print(json.dumps(headline))
+    # opt-in extras AFTER the headline; if they emit, re-print the headline
+    # so the final stdout line is always the driver's metric
+    if (os.environ.get("BENCH_TURBO", "0") == "1" and not TINY
+            and vsr_turbo_fn is not None):
+        vsr_turbo_s = vsr_turbo_fn()
+        emit({
+            "metric": "VSR 8f window, int8 turbo convs (opt-in, non-parity path)",
+            "value": round(vsr_turbo_s, 2), "unit": "s/window",
+            "vs_baseline": round(ROUND1_VSR_WINDOW_S / vsr_turbo_s, 4),
+        })
+        if headline is not None:
+            emit(headline)
+    elif headline is None and last is not None:
+        pass  # the last stage line already on stdout IS the headline
 
 
 if __name__ == "__main__":
