@@ -598,3 +598,102 @@ class TestVAEParity:
         np.testing.assert_allclose(
             np.asarray(dec_j).transpose(0, 3, 1, 2), dec_t, atol=2e-4
         )
+
+
+@pytest.mark.slow
+class TestFullWidthTowerParity:
+    """Conversion + forward parity for the PSNR chain's non-UNet towers at
+    their PRODUCTION widths (VERDICT r3 #5) — the companion of
+    test_ref_parity.TestFullWidthUNetForwardParity. The real towers:
+    ViT-L/14 text (123M, SD-1.4 text encoder, base/pipelines/sample.py:32),
+    the x4-upscaler's OpenCLIP-H-config text encoder (354M,
+    vsr/models/clip.py), the SD f8 VAE (128/256/512/512,
+    base/pipelines/sample.py:30) and the x4 f4 VAE (128/256/512,
+    vsr/configs/vae_config.json). Sequence/spatial dims stay small — the
+    parameter tensors and per-channel math are exactly checkpoint-shaped."""
+
+    @pytest.mark.parametrize(
+        "ours_cfg,min_params",
+        [
+            (CLIPTextConfig.vit_l(), 120e6),        # quick_gelu, 768×12
+            (CLIPTextConfig.open_clip_h(), 330e6),  # gelu, 1024×23 (340M sans projection head)
+        ],
+        ids=["vit_l", "open_clip_h"],
+    )
+    def test_text_tower_full_width(self, ours_cfg, min_params):
+        from transformers import CLIPTextConfig as HFConfig
+        from transformers import CLIPTextModel as HFModel
+
+        hf_cfg = HFConfig(
+            vocab_size=ours_cfg.vocab_size,
+            hidden_size=ours_cfg.hidden_size,
+            intermediate_size=ours_cfg.intermediate_size,
+            num_hidden_layers=ours_cfg.num_layers,
+            num_attention_heads=ours_cfg.num_heads,
+            max_position_embeddings=ours_cfg.max_position_embeddings,
+            hidden_act=ours_cfg.hidden_act,
+        )
+        torch.manual_seed(90)
+        hf = HFModel(hf_cfg).eval()
+
+        ours = CLIPTextModel(config=ours_cfg)
+        rng = np.random.RandomState(91)
+        ids_np = rng.randint(0, ours_cfg.vocab_size, (2, 77)).astype(np.int32)
+        # the CLIP causal+EOS semantics don't depend on real BPE ids here —
+        # this pins the tower math/conversion at full width
+
+        init = ours.init(jax.random.PRNGKey(0), jnp.asarray(ids_np))["params"]
+        n_params = sum(x.size for x in jax.tree.leaves(init))
+        assert n_params > min_params, f"not checkpoint-shaped: {n_params/1e6:.0f}M"
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params = convert_clip_text(init, sd)
+
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(ids_np.astype(np.int64))).last_hidden_state.numpy()
+        out = np.asarray(ours.apply({"params": params}, jnp.asarray(ids_np)))
+        np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+    @pytest.mark.parametrize(
+        "boc,scaling,spatial",
+        [
+            ((128, 256, 512, 512), 0.18215, 32),  # SD f8 VAE
+            ((128, 256, 512), 0.08333, 32),       # x4-upscaler f4 VAE
+        ],
+        ids=["sd_f8", "x4_f4"],
+    )
+    def test_vae_full_width(self, boc, scaling, spatial):
+        import dataclasses
+
+        from lavie_tpu.core.config import VAEConfig
+        from lavie_tpu.io.convert import convert_state_dict
+        from lavie_tpu.nn.vae import AutoencoderKL
+
+        torch.manual_seed(92)
+        ref = TestVAEParity._torch_vae(boc=boc, layers=2, groups=32).eval()
+        cfg = dataclasses.replace(
+            VAEConfig.sd(), block_out_channels=boc, layers_per_block=2,
+            norm_num_groups=32, scaling_factor=scaling,
+        )
+        ours = AutoencoderKL(config=cfg)
+
+        g = torch.Generator().manual_seed(93)
+        x_t = torch.randn(1, 3, spatial, spatial, generator=g)
+        x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))
+        init = ours.init(jax.random.PRNGKey(0), x_j)["params"]
+        n_params = sum(x.size for x in jax.tree.leaves(init))
+        assert n_params > 5e7, f"not checkpoint-shaped: {n_params/1e6:.0f}M"
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = convert_state_dict(init, sd, strict_unused=True)
+
+        with torch.no_grad():
+            moments_t = ref.encode_moments(x_t)
+            mean_t, _ = torch.chunk(moments_t, 2, dim=1)
+            dec_t = ref.decode(mean_t).numpy()
+        mean_j, _ = ours.apply({"params": params}, x_j, method=AutoencoderKL.encode)
+        dec_j = ours.apply({"params": params}, mean_j, method=AutoencoderKL.decode)
+        np.testing.assert_allclose(
+            np.asarray(mean_j).transpose(0, 3, 1, 2), mean_t.numpy(), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(dec_j).transpose(0, 3, 1, 2), dec_t, atol=1e-3
+        )
