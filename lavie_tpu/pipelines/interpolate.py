@@ -141,7 +141,8 @@ class VideoInterpolationPipeline:
 
     def _build_sampler(self, batch: int, out_frames: int, height: int, width: int,
                        num_inference_steps: int, encode_chunk: int,
-                       use_mask: bool = False):
+                       use_mask: bool = False, with_text_states: bool = False,
+                       with_encoder_noise: bool = False):
         f = self.vae_config.downscale_factor
         lat_h, lat_w = height // f, width // f
         scaling = self.vae_config.scaling_factor
@@ -162,16 +163,29 @@ class VideoInterpolationPipeline:
         cond_from_key = jnp.asarray(np.searchsorted(key_slots, cond_idx))
         n_key = len(key_slots)
 
+        assert not (with_encoder_noise and method == "ddpm"), (
+            "encoder-noise injection (parity goldens) supports the "
+            "deterministic DDIM path only"
+        )
+
         def sample_fn(params, token_ids, frames, init_noise, guidance_scale,
                       sample_rng, frame_mask=None):
             """frames: (B, out_frames, H, W, 3) in [-1, 1] — the input video
             resampled onto the 61-frame grid (reference get_input reads 61
             frames via linspace, interpolation/sample.py:73-81).
             frame_mask: (B, out_frames) 0=known/1=generate — masked-inpainting
-            mode (reference: interpolation/sample.py:95-132)."""
-            text_states = text_encoder.apply(
-                {"params": params["text_encoder"]}, token_ids
-            ).astype(dtype)
+            mode (reference: interpolation/sample.py:95-132).
+            Injection (parity goldens): with_text_states reads token_ids as
+            precomputed [uncond; cond] states; with_encoder_noise reads
+            sample_rng as the VAE posterior noise ε (z = μ + e^{σ/2}·ε,
+            the reference's latent_dist.sample(),
+            interpolation/sample.py:141-143)."""
+            if with_text_states:
+                text_states = token_ids.astype(dtype)
+            else:
+                text_states = text_encoder.apply(
+                    {"params": params["text_encoder"]}, token_ids
+                ).astype(dtype)
 
             if use_mask:
                 # zero out the frames to generate before encoding; the masked
@@ -187,10 +201,13 @@ class VideoInterpolationPipeline:
             mean, logvar = vae.apply(
                 {"params": params["vae"]}, x2d, method=AutoencoderKL.encode
             )
-            z = vae.apply(
-                {"params": params["vae"]}, mean, logvar, sample_rng,
-                method=AutoencoderKL.sample_posterior,
-            )
+            if with_encoder_noise:
+                z = mean + jnp.exp(0.5 * logvar) * sample_rng.astype(mean.dtype)
+            else:
+                z = vae.apply(
+                    {"params": params["vae"]}, mean, logvar, sample_rng,
+                    method=AutoencoderKL.sample_posterior,
+                )
             z = (z.astype(jnp.float32) * scaling).reshape(batch, n_enc, lat_h, lat_w, -1)
 
             if use_mask:
@@ -210,7 +227,8 @@ class VideoInterpolationPipeline:
             # DDPM ancestral noise (use_ddim_sample_loop: False — FIXED_LARGE
             # p_sample on the spaced chain, interpolation/sample.py:124-126);
             # per-step keys derive from the timestep so no carry is needed
-            noise_key = jax.random.fold_in(sample_rng, 7)
+            noise_key = (None if with_encoder_noise
+                         else jax.random.fold_in(sample_rng, 7))
 
             def body(x, tp):
                 t, pt = tp
@@ -260,7 +278,8 @@ class VideoInterpolationPipeline:
 
     def _build_stepwise(self, batch: int, out_frames: int, height: int, width: int,
                         num_inference_steps: int, encode_chunk: int,
-                        use_mask: bool = False):
+                        use_mask: bool = False, with_text_states: bool = False,
+                        with_encoder_noise: bool = False):
         """Step-level jit variant (loop_mode='python'); same math as the
         scanned sampler."""
         f = self.vae_config.downscale_factor
@@ -279,11 +298,19 @@ class VideoInterpolationPipeline:
         cond_from_key = jnp.asarray(np.searchsorted(key_slots, cond_idx))
         n_key = len(key_slots)
 
+        assert not (with_encoder_noise and method == "ddpm"), (
+            "encoder-noise injection (parity goldens) supports the "
+            "deterministic DDIM path only"
+        )
+
         @jax.jit
         def prep_fn(params, token_ids, frames, sample_rng, frame_mask=None):
-            text_states = text_encoder.apply(
-                {"params": params["text_encoder"]}, token_ids
-            ).astype(dtype)
+            if with_text_states:
+                text_states = token_ids.astype(dtype)
+            else:
+                text_states = text_encoder.apply(
+                    {"params": params["text_encoder"]}, token_ids
+                ).astype(dtype)
             if use_mask:
                 frames = frames * (1.0 - frame_mask)[:, :, None, None, None]
                 enc_frames, n_enc = frames, out_frames
@@ -294,10 +321,13 @@ class VideoInterpolationPipeline:
             mean, logvar = vae.apply(
                 {"params": params["vae"]}, x2d, method=AutoencoderKL.encode
             )
-            z = vae.apply(
-                {"params": params["vae"]}, mean, logvar, sample_rng,
-                method=AutoencoderKL.sample_posterior,
-            )
+            if with_encoder_noise:
+                z = mean + jnp.exp(0.5 * logvar) * sample_rng.astype(mean.dtype)
+            else:
+                z = vae.apply(
+                    {"params": params["vae"]}, mean, logvar, sample_rng,
+                    method=AutoencoderKL.sample_posterior,
+                )
             z = (z.astype(jnp.float32) * scaling).reshape(batch, n_enc, lat_h, lat_w, -1)
             if use_mask:
                 mask_lat = jnp.broadcast_to(
@@ -375,7 +405,8 @@ class VideoInterpolationPipeline:
             else:
                 text_states, extra_2 = prep_fn(params, token_ids, frames, sample_rng)
             x = init_noise.astype(jnp.float32)
-            noise_key = jax.random.fold_in(sample_rng, 7)
+            noise_key = (None if with_encoder_noise
+                         else jax.random.fold_in(sample_rng, 7))
             if hybrid:
                 n = len(ts)
                 k = scan_chunk if scan_chunk > 0 else n
@@ -404,6 +435,8 @@ class VideoInterpolationPipeline:
         latents: Optional[np.ndarray] = None,
         encode_chunk: int = 16,
         mask_type: Optional[str] = None,
+        text_states: Optional[np.ndarray] = None,
+        encoder_noise: Optional[np.ndarray] = None,
     ) -> InterpolationOutput:
         steps = num_inference_steps or self.sampling.num_inference_steps
         guidance = guidance_scale if guidance_scale is not None else self.sampling.guidance_scale
@@ -423,14 +456,25 @@ class VideoInterpolationPipeline:
         # cond_eps split first, interpolation/sample.py:156 +
         # models/unet.py:470-473) — the math is identical, only the batch
         # layout differs; the parity harness injects matching layouts.
-        token_ids = jnp.asarray(
-            np.concatenate(
-                [self.tokenizer([negative_prompt] * b), self.tokenizer([prompt] * b)], axis=0
+        # Parity-golden injection (like t2v's latents/text_states): precomputed
+        # [uncond; cond] text states bypass the tokenizer+encoder; an injected
+        # encoder_noise ε replaces the VAE posterior's RNG draw (torch and JAX
+        # RNGs differ, so per-seed parity injects the reference's tensors).
+        wts = text_states is not None
+        wen = encoder_noise is not None
+        if wts:
+            token_ids = jnp.asarray(text_states, dtype=jnp.float32)
+        else:
+            token_ids = jnp.asarray(
+                np.concatenate(
+                    [self.tokenizer([negative_prompt] * b), self.tokenizer([prompt] * b)], axis=0
+                )
             )
-        )
 
         key = jax.random.PRNGKey(seed)
         lat_key, enc_key = jax.random.split(key)
+        if wen:
+            enc_key = jnp.asarray(encoder_noise, dtype=jnp.float32)
         f = self.vae_config.downscale_factor
         shape = (b, out_frames, height // f, width // f, 4)
         if latents is None:
@@ -466,7 +510,7 @@ class VideoInterpolationPipeline:
             )
 
         cache_key = (b, out_frames, height, width, steps, encode_chunk, use_mask,
-                     self.loop_mode, self.scan_chunk)
+                     self.loop_mode, self.scan_chunk, wts, wen)
         if cache_key not in self._compiled:
             builder = (
                 self._build_stepwise
@@ -474,7 +518,8 @@ class VideoInterpolationPipeline:
                 else self._build_sampler
             )
             self._compiled[cache_key] = builder(
-                b, out_frames, height, width, steps, encode_chunk, use_mask=use_mask
+                b, out_frames, height, width, steps, encode_chunk, use_mask=use_mask,
+                with_text_states=wts, with_encoder_noise=wen,
             )
         if use_mask:
             out = self._compiled[cache_key](

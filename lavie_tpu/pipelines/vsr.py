@@ -167,7 +167,7 @@ class VideoSuperResolutionPipeline:
     # ------------------------------------------------------------------
 
     def _build_sampler(self, batch: int, frames: int, height: int, width: int,
-                       num_inference_steps: int):
+                       num_inference_steps: int, inject: bool = False):
         dtype = self.dtype
         schedule = self.schedule
         scaling = self.vae_config.scaling_factor
@@ -185,14 +185,22 @@ class VideoSuperResolutionPipeline:
         ts_arr, pts_arr = jnp.asarray(ts), jnp.asarray(pts)
 
         def sample_fn(params, token_ids, frames_in, noise_level, guidance_scale, key):
-            """frames_in: (B, F, H, W, 3) in [-1, 1]."""
-            text_states = text_encoder.apply(
-                {"params": params["text_encoder"]}, token_ids
-            ).astype(dtype)
-
-            lr_key, lat_key = jax.random.split(key)
-            # DDPM-noise the low-res conditioning at noise_level
-            noise = jax.random.normal(lr_key, frames_in.shape, dtype=jnp.float32)
+            """frames_in: (B, F, H, W, 3) in [-1, 1].
+            Injection (parity goldens, inject=True): token_ids is the
+            precomputed [uncond; cond] text states and key is the tuple
+            (lr_noise, init_latents) — the reference's low-res augmentation ε
+            (…3d.py:631-634) and prepare_latents_3d randn (…3d.py:441-452)."""
+            if inject:
+                text_states = token_ids.astype(dtype)
+                lr_noise, x0 = key
+                noise = lr_noise.astype(jnp.float32)
+            else:
+                text_states = text_encoder.apply(
+                    {"params": params["text_encoder"]}, token_ids
+                ).astype(dtype)
+                lr_key, lat_key = jax.random.split(key)
+                # DDPM-noise the low-res conditioning at noise_level
+                noise = jax.random.normal(lr_key, frames_in.shape, dtype=jnp.float32)
             image = add_noise(
                 self.low_res_schedule,
                 frames_in.astype(jnp.float32),
@@ -202,9 +210,12 @@ class VideoSuperResolutionPipeline:
             image_c = image.astype(dtype)
             nl1 = jnp.broadcast_to(noise_level, (batch,))
 
-            x = jax.random.normal(
-                lat_key, (batch, frames, height, width, 4), dtype=jnp.float32
-            )
+            if inject:
+                x = x0.astype(jnp.float32)
+            else:
+                x = jax.random.normal(
+                    lat_key, (batch, frames, height, width, 4), dtype=jnp.float32
+                )
 
             def unet_half(x, t, text_half, prefix=None):
                 xin = jnp.concatenate([x.astype(dtype), image_c], axis=-1)  # 7ch
@@ -297,7 +308,7 @@ class VideoSuperResolutionPipeline:
     # ------------------------------------------------------------------
 
     def _build_stepwise(self, batch: int, frames: int, height: int, width: int,
-                        num_inference_steps: int):
+                        num_inference_steps: int, inject: bool = False):
         """Step-level jit variant (loop_mode='python'); same math as the
         scanned sampler, always split-CFG. loop_mode='hybrid' scans the
         denoise loop in ONE jitted program (the scan body compiles once, so
@@ -322,18 +333,28 @@ class VideoSuperResolutionPipeline:
 
         @jax.jit
         def prep_fn(params, token_ids, frames_in, noise_level, key):
-            text_states = text_encoder.apply(
-                {"params": params["text_encoder"]}, token_ids
-            ).astype(dtype)
-            lr_key, lat_key = jax.random.split(key)
-            noise = jax.random.normal(lr_key, frames_in.shape, dtype=jnp.float32)
+            # inject=True: token_ids = [uncond; cond] states, key = (lr_noise,
+            # init_latents) — see _build_sampler's sample_fn docstring
+            if inject:
+                text_states = token_ids.astype(dtype)
+                lr_noise, x0 = key
+                noise = lr_noise.astype(jnp.float32)
+            else:
+                text_states = text_encoder.apply(
+                    {"params": params["text_encoder"]}, token_ids
+                ).astype(dtype)
+                lr_key, lat_key = jax.random.split(key)
+                noise = jax.random.normal(lr_key, frames_in.shape, dtype=jnp.float32)
             image = add_noise(
                 self.low_res_schedule, frames_in.astype(jnp.float32), noise,
                 jnp.broadcast_to(noise_level, (batch,)),
             ).astype(dtype)
-            x = jax.random.normal(
-                lat_key, (batch, frames, height, width, 4), dtype=jnp.float32
-            )
+            if inject:
+                x = x0.astype(jnp.float32)
+            else:
+                x = jax.random.normal(
+                    lat_key, (batch, frames, height, width, 4), dtype=jnp.float32
+                )
             return text_states, image, x
 
         @jax.jit
@@ -488,6 +509,9 @@ class VideoSuperResolutionPipeline:
         guidance_scale: Optional[float] = None,
         noise_level: Optional[int] = None,
         seed: int = 10,
+        text_states: Optional[np.ndarray] = None,
+        latents: Optional[np.ndarray] = None,
+        lr_noise: Optional[np.ndarray] = None,
     ) -> VSROutput:
         steps = num_inference_steps or self.sampling.num_inference_steps
         guidance = guidance_scale if guidance_scale is not None else self.sampling.guidance_scale
@@ -498,6 +522,20 @@ class VideoSuperResolutionPipeline:
             frames = frames.astype(np.float32) / 255.0
             frames = (frames - 0.5) * 2.0
         total, height, width, _ = frames.shape
+
+        # Parity-golden injection (like t2v's latents/text_states): the
+        # reference's [uncond; cond] text states, initial latents
+        # (prepare_latents_3d randn) and low-res augmentation noise replace
+        # every RNG draw — torch and JAX RNGs differ, so per-seed parity
+        # injects the reference's tensors. Single-window runs only.
+        inject = (
+            text_states is not None or latents is not None or lr_noise is not None
+        )
+        if inject:
+            assert (
+                text_states is not None and latents is not None and lr_noise is not None
+            ), "golden injection needs text_states, latents AND lr_noise"
+            assert total <= self.window, "golden injection supports one window"
 
         key = jax.random.PRNGKey(seed)
 
@@ -536,24 +574,37 @@ class VideoSuperResolutionPipeline:
             bsz = len(batch_chunks)
             gwin = batch_chunks[0].shape[0]
             cache_key = (bsz, gwin, height, width, steps, self.loop_mode,
-                         self.scan_chunk)
+                         self.scan_chunk, inject)
             if cache_key not in self._compiled:
                 builder = (
                     self._build_stepwise
                     if self.loop_mode in ("python", "hybrid")
                     else self._build_sampler
                 )
-                self._compiled[cache_key] = builder(bsz, gwin, height, width, steps)
-            token_ids = jnp.asarray(
-                np.concatenate(
-                    [
-                        np.repeat(self.tokenizer([negative_prompt]), bsz, axis=0),
-                        np.repeat(self.tokenizer([prompt]), bsz, axis=0),
-                    ],
-                    axis=0,
+                self._compiled[cache_key] = builder(bsz, gwin, height, width, steps,
+                                                    inject=inject)
+            if inject:
+                token_ids = jnp.asarray(text_states, dtype=jnp.float32)
+            else:
+                token_ids = jnp.asarray(
+                    np.concatenate(
+                        [
+                            np.repeat(self.tokenizer([negative_prompt]), bsz, axis=0),
+                            np.repeat(self.tokenizer([prompt]), bsz, axis=0),
+                        ],
+                        axis=0,
+                    )
                 )
-            )
             key, sub = jax.random.split(key)
+            if inject:
+                sub = (
+                    jnp.asarray(lr_noise, dtype=jnp.float32).reshape(
+                        bsz, gwin, height, width, 3
+                    ),
+                    jnp.asarray(latents, dtype=jnp.float32).reshape(
+                        bsz, gwin, height, width, 4
+                    ),
+                )
             batch_in = jnp.asarray(np.stack(batch_chunks))
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P

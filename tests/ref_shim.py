@@ -365,6 +365,10 @@ _PKG_PATHS = {
     # `step` body is the stock diffusers step; the base pipeline golden
     # drives it with stock arange spacing (base/pipelines/sample.py:44-60)
     "vsr_diffusion": f"{REFERENCE_ROOT}/vsr/diffusion",
+    # the vendored OpenAI GaussianDiffusion/SpacedDiffusion the TSR stage
+    # samples with (interpolation/sample.py:162-166) — drives the TSR
+    # pipeline-level golden
+    "interpolation_diffusion": f"{REFERENCE_ROOT}/interpolation/diffusion",
 }
 
 

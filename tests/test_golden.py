@@ -206,3 +206,43 @@ def test_pipeline_level_golden_psnr():
     path = os.path.join(GOLDEN, "pipeline_base.npz")
     psnr = run_tiny_golden(path)
     assert psnr >= 35.0, f"pipeline-level PSNR {psnr:.2f} dB < 35"
+
+
+@pytest.mark.slow
+def test_pipeline_level_golden_psnr_tsr():
+    """TSR denoise-loop golden: the reference's own vendored
+    SpacedDiffusion.ddim_sample_loop over the reference tiny TSR UNet with
+    copied-video concat conditioning and posterior-sampled VAE encode
+    (interpolation/sample.py:135-174, gaussian_diffusion.py:282-291),
+    replayed through VideoInterpolationPipeline with injected latents /
+    text states / encoder noise. Dumped at 94.8 dB."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from parity_harness import run_tiny_golden_tsr
+
+    path = os.path.join(GOLDEN, "pipeline_tsr.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden dump pipeline_tsr absent")
+    psnr = run_tiny_golden_tsr(path)
+    assert psnr >= 35.0, f"TSR pipeline-level PSNR {psnr:.2f} dB < 35"
+
+
+@pytest.mark.slow
+def test_pipeline_level_golden_psnr_vsr():
+    """VSR denoise-loop golden: low-res DDPM noising at noise_level, v-pred
+    DDIM with the vendored scheduler, noise-level class embedding and f4
+    decode over the reference UNet3DVSRModel
+    (vsr/models/pipeline_stable_diffusion_upscale_video_3d.py:631-738),
+    replayed through VideoSuperResolutionPipeline with injected latents /
+    text states / low-res noise. Dumped at 88.7 dB."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from parity_harness import run_tiny_golden_vsr
+
+    path = os.path.join(GOLDEN, "pipeline_vsr.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden dump pipeline_vsr absent")
+    psnr = run_tiny_golden_vsr(path)
+    assert psnr >= 35.0, f"VSR pipeline-level PSNR {psnr:.2f} dB < 35"

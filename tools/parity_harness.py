@@ -107,6 +107,127 @@ def run_tiny_golden(path: str) -> float:
     return p
 
 
+def _cfgs_from_meta(meta):
+    from lavie_tpu.core.config import UNetConfig, VAEConfig
+
+    unet_cfg = UNetConfig(**{
+        k: tuple(v) if isinstance(v, list) else v for k, v in meta["unet"].items()
+    })
+    vae_cfg = VAEConfig(**{
+        k: tuple(v) if isinstance(v, list) else v for k, v in meta["vae"].items()
+    })
+    return unet_cfg, vae_cfg
+
+
+def run_tiny_golden_tsr(path: str) -> float:
+    """Replay the TSR pipeline-level golden (tools/dump_pipeline_golden.py
+    --stage tsr: the reference's own SpacedDiffusion.ddim_sample_loop over
+    the reference tiny TSR UNet with copied-video concat conditioning,
+    interpolation/sample.py:135-174) through VideoInterpolationPipeline with
+    injected latents / text states / VAE-posterior noise; returns PSNR."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from lavie_tpu.core.config import CLIPTextConfig
+    from lavie_tpu.io.convert import convert_state_dict
+    from lavie_tpu.pipelines.interpolate import (
+        VideoInterpolationPipeline,
+        copied_video_indices,
+    )
+
+    dump = np.load(path, allow_pickle=False)
+    meta = json.loads(str(dump["meta"]))
+    unet_cfg, vae_cfg = _cfgs_from_meta(meta)
+
+    pipe = VideoInterpolationPipeline.init_random(
+        jax.random.PRNGKey(0), unet_config=unet_cfg, vae_config=vae_cfg,
+        text_config=CLIPTextConfig.vit_l().tiny(), dtype=jnp.float32,
+    )
+    unet_sd = {k[len("unet::"):]: dump[k].astype(np.float32)
+               for k in dump.files if k.startswith("unet::")}
+    vae_sd = {k[len("vae::"):]: dump[k].astype(np.float32)
+              for k in dump.files if k.startswith("vae::")}
+    pipe.params = dict(
+        pipe.params,
+        unet=convert_state_dict(pipe.params["unet"], unet_sd, strict_unused=True),
+        vae=convert_state_dict(pipe.params["vae"], vae_sd, strict_unused=True),
+    )
+
+    video_in = dump["video_in"].transpose(0, 2, 3, 1)  # (61, H, W, 3) [-1,1]
+    lat = np.transpose(dump["latents"], (0, 2, 3, 4, 1))  # BCFHW → BFHWC
+    # the pipeline encodes only the copied-video KEY frames; slice the
+    # reference's all-61-frame posterior ε at those slots
+    key_slots = np.unique(copied_video_indices(int(meta["frames"])))
+    enc_noise = dump["enc_noise"][key_slots].transpose(0, 2, 3, 1)
+
+    out = pipe(
+        video_in, latents=lat, text_states=dump["text_states"],
+        encoder_noise=enc_noise, num_inference_steps=int(meta["steps"]),
+        guidance_scale=float(meta["guidance"]), out_frames=int(meta["frames"]),
+    ).video
+    compare("tsr_pipeline.video(uint8)", out.astype(np.float32),
+            dump["video"].astype(np.float32))
+    p = psnr(out, dump["video"])
+    print(f"TSR end-to-end PSNR vs reference loop: {p:.2f} dB (target ≥ 35)")
+    return p
+
+
+def run_tiny_golden_vsr(path: str) -> float:
+    """Replay the VSR pipeline-level golden (tools/dump_pipeline_golden.py
+    --stage vsr: low-res DDPM noising at noise_level + v-pred DDIM +
+    noise-level class embedding over the reference UNet3DVSRModel,
+    …3d.py:631-738) through VideoSuperResolutionPipeline with injected
+    latents / text states / low-res noise; returns PSNR."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from lavie_tpu.core.config import CLIPTextConfig
+    from lavie_tpu.io.convert import convert_state_dict, permute_rope_channels
+    from lavie_tpu.pipelines.vsr import VideoSuperResolutionPipeline
+
+    dump = np.load(path, allow_pickle=False)
+    meta = json.loads(str(dump["meta"]))
+    unet_cfg, vae_cfg = _cfgs_from_meta(meta)
+
+    pipe = VideoSuperResolutionPipeline.init_random(
+        jax.random.PRNGKey(0), unet_config=unet_cfg, vae_config=vae_cfg,
+        text_config=CLIPTextConfig.open_clip_h().tiny(), dtype=jnp.float32,
+        window=int(meta["frames"]), noise_level=int(meta["noise_level"]),
+    )
+    unet_sd = {k[len("unet::"):]: dump[k].astype(np.float32)
+               for k in dump.files if k.startswith("unet::")}
+    vae_sd = {k[len("vae::"):]: dump[k].astype(np.float32)
+              for k in dump.files if k.startswith("vae::")}
+    unet_params = convert_state_dict(pipe.params["unet"], unet_sd, strict_unused=True)
+    unet_params = permute_rope_channels(
+        unet_params, heads=unet_cfg.num_attention_heads, rot_dim=unet_cfg.rope_dim
+    )
+    pipe.params = dict(
+        pipe.params, unet=unet_params,
+        vae=convert_state_dict(pipe.params["vae"], vae_sd, strict_unused=True),
+    )
+
+    frames_in = dump["frames_in"][0].transpose(1, 2, 3, 0)  # (F, H, W, 3)
+    lat = np.transpose(dump["latents"], (0, 2, 3, 4, 1))
+    lr_noise = np.transpose(dump["lr_noise"], (0, 2, 3, 4, 1))
+    out = pipe(
+        frames_in, text_states=dump["text_states"], latents=lat,
+        lr_noise=lr_noise, num_inference_steps=int(meta["steps"]),
+        guidance_scale=float(meta["guidance"]),
+        noise_level=int(meta["noise_level"]),
+    ).video
+    ref_video = dump["video"][0]
+    compare("vsr_pipeline.video(uint8)", out.astype(np.float32),
+            ref_video.astype(np.float32))
+    p = psnr(out, ref_video)
+    print(f"VSR end-to-end PSNR vs reference loop: {p:.2f} dB (target ≥ 35)")
+    return p
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dump", help=".npz of reference tensors")
@@ -127,6 +248,11 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     if args.tiny_golden:
+        base = os.path.basename(args.tiny_golden)
+        if "tsr" in base:
+            return run_tiny_golden_tsr(args.tiny_golden)
+        if "vsr" in base:
+            return run_tiny_golden_vsr(args.tiny_golden)
         return run_tiny_golden(args.tiny_golden)
     if not args.dump:
         raise SystemExit("one of --dump / --tiny-golden is required")
