@@ -39,6 +39,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--check", action="store_true",
+                    help="regression gate: exit 1 if PSNR < --min-psnr "
+                         "(measured 39.10 dB at 8f/50 steps, DESIGN.md "
+                         "round-4 turbo drift record)")
+    ap.add_argument("--min-psnr", type=float, default=37.0)
     args = ap.parse_args()
 
     from lavie_tpu.pipelines.vsr import VideoSuperResolutionPipeline
@@ -69,6 +74,9 @@ def main():
     mx = float(np.max(np.abs(outs["none"] - outs["int8"])))
     print(f"turbo-vs-bf16: PSNR {psnr:.2f} dB  mean|Δ| {mad:.3f}  max|Δ| {mx:.0f} "
           f"(uint8 scale, {args.frames}f x {args.steps} steps, random-init weights)")
+    if args.check and psnr < args.min_psnr:
+        print(f"FAIL: PSNR {psnr:.2f} < {args.min_psnr}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
