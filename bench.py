@@ -22,6 +22,13 @@ Output contract (hardened after BENCH_r03 was lost to a timeout, rc 124):
 Timing hygiene (DESIGN.md): fresh inputs per run (the axon tunnel dedupes
 identical dispatches) and np.asarray host materialization (block_until_ready
 can defer through the tunnel).
+
+The option-4 headline is a sum of independently-benched stages; the SAME
+recipe measured as ONE in-process program chain (prompt → base → TSR →
+VSR → uint8 video, interstage glue included, like the reference's
+predict.py) is tools/run_cascade_full.py — its measured wall clock and the
+reconciliation against this sum are recorded in DESIGN.md ("Round-4
+one-shot cascade").
 """
 
 import json

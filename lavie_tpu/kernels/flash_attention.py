@@ -343,6 +343,106 @@ def flash_cmajor(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("frames", "heads", "scale", "interpret",
+                     "blkq_override", "blkk_override"),
+)
+def _flash_cmajor_sparse_call(q, k, v, frames, heads, scale, interpret=False,
+                              blkq_override=0, blkk_override=0):
+    """Sparse-causal flash WITHOUT materializing the concat kv.
+
+    q/k/v: (B·F, C, S) — the raw channel-major projections, frame axis
+    folded into batch. Each frame's kv tokens are concat(frame 0, frame
+    i-1) (reference: interpolation/models/attention.py:629-639); instead
+    of broadcasting frame 0 F× and shift-concatenating (two (B·F, C, 2S)
+    HBM materializations per call), the kv grid axis walks 2× the
+    per-frame block count and the BLOCK INDEX MAPS synthesize the concat:
+      j < half  → frame 0 of this video   (batch row b - b % F)
+      j ≥ half  → frame i-1 (frame 0 for the first frame), block j - half
+    The kernel body sees exactly the same block sequence as the
+    materialized path, so the online softmax is bit-identical; the only
+    change is that XLA's anchor/prev copy ops (~1.6 GB of HBM write+read
+    per L0 TSR call) disappear (VERDICT r3 #7b, frame-0 kv hoisting).
+    """
+    bf, c, seq_q = q.shape
+    s = k.shape[2]
+    assert bf % frames == 0 and seq_q == s
+    d = c // heads
+    blk_q = _pick_block(seq_q, blkq_override or 1280)
+    blk_k = _pick_block(s, blkk_override or 256)
+
+    def vmem_est(bq, bk):
+        return ((2 * c * bq + 2 * c * bk) * 2 * 2
+                + c * bq * 4 + 2 * bk * bq * 4 + bk * bq * 2
+                + 2 * 8 * bq * 4)
+
+    while vmem_est(blk_q, blk_k) > 12 * 1024 * 1024 and max(blk_q, blk_k) > 128:
+        if blk_k >= blk_q and blk_k > 128:
+            blk_k = _pick_block(s, blk_k // 2)
+        else:
+            blk_q = _pick_block(seq_q, blk_q // 2)
+    half = s // blk_k
+    kv_blocks = 2 * half
+    f = frames
+
+    def kv_index(b, i, j):
+        anchor_row = b - b % f  # frame 0 of this video
+        prev_row = jnp.where(b % f == 0, b, b - 1)  # frame i-1 (0 → itself)
+        return (
+            jnp.where(j < half, anchor_row, prev_row),
+            0,
+            jnp.where(j < half, j, j - half),
+        )
+
+    grid = (bf, seq_q // blk_q, kv_blocks)
+    hs = max(heads, 8)
+    return pl.pallas_call(
+        functools.partial(
+            _flash_cmajor_kernel, scale=scale, kv_blocks=kv_blocks,
+            heads=heads, head_dim=d,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, c, blk_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, c, blk_k), kv_index),
+            pl.BlockSpec((1, c, blk_k), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, c, blk_q), lambda b, i, j: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((bf, c, seq_q), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hs, blk_q), jnp.float32),
+            pltpu.VMEM((hs, blk_q), jnp.float32),
+            pltpu.VMEM((c, blk_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def flash_cmajor_sparse(
+    q: jnp.ndarray,  # (B·F, C, S) channel-major, frame axis folded in batch
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    frames: int,
+    heads: int,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sparse-causal (kv = concat(frame 0, frame i-1)) channel-major flash
+    over the RAW per-frame projections — no kv materialization."""
+    import os
+
+    return _flash_cmajor_sparse_call(
+        q, k, v, frames, heads, scale, interpret,
+        int(os.environ.get("LAVIE_FC_BLKQ", "0") or 0),
+        int(os.environ.get("LAVIE_FC_BLKK", "0") or 0),
+    )
+
+
 def flash_attention(
     q: jnp.ndarray,  # (B, S, H, D)
     k: jnp.ndarray,

@@ -411,18 +411,36 @@ class SparseCausalAttention(nn.Module):
         k = proj_cm(self.to_k)
         v = proj_cm(self.to_v)
 
-        def sparse_cm(x):  # kv tokens = concat(frame 0, frame i-1) per frame
-            x = x.reshape(b, f, e, s)
-            anchor = jnp.broadcast_to(x[:, 0:1], x.shape)
-            prev = jnp.concatenate([x[:, 0:1], x[:, :-1]], axis=1)
-            return jnp.concatenate([anchor, prev], axis=3).reshape(bf, e, 2 * s)
+        import os
 
-        from lavie_tpu.kernels.flash_attention import flash_cmajor
+        from lavie_tpu.kernels.flash_attention import flash_cmajor, flash_cmajor_sparse
 
-        out = flash_cmajor(
-            q, sparse_cm(k), sparse_cm(v),
-            heads=self.heads, scale=self.head_dim**-0.5,
-        )  # (BF, E, S)
+        if os.environ.get("LAVIE_SPARSE_HOIST", "0") == "1":
+            # OPT-IN copy-free kv: the kernel's block index maps synthesize
+            # the concat(frame 0, frame i-1) kv straight from the raw
+            # per-frame projections — no (BF, E, 2S) anchor/prev
+            # materialization (bit-identical block order;
+            # tests/test_flash_attention.py::TestFlashCmajorSparse).
+            # Default OFF: inside the production hybrid-scan chunk programs
+            # the data-dependent kv index maps hang the axon remote
+            # compiler (>27 min on the base chunk that compiles in ~2 min
+            # with the materialized path; standalone kernel compiles in
+            # ~2 s — DESIGN.md "Round-4 sparse-kv hoisting").
+            out = flash_cmajor_sparse(
+                q, k, v, frames=f,
+                heads=self.heads, scale=self.head_dim**-0.5,
+            )  # (BF, E, S)
+        else:
+            def sparse_cm(x):  # kv tokens = concat(frame 0, frame i-1) per frame
+                x = x.reshape(b, f, e, s)
+                anchor = jnp.broadcast_to(x[:, 0:1], x.shape)
+                prev = jnp.concatenate([x[:, 0:1], x[:, :-1]], axis=1)
+                return jnp.concatenate([anchor, prev], axis=3).reshape(bf, e, 2 * s)
+
+            out = flash_cmajor(
+                q, sparse_cm(k), sparse_cm(v),
+                heads=self.heads, scale=self.head_dim**-0.5,
+            )  # (BF, E, S)
         # out-projection consumes channel-major directly: contract E off the
         # sublane dim → (BF, S, C)
         wo = self.to_out_0.variables["params"]["kernel"].astype(self.dtype)

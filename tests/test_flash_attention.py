@@ -155,10 +155,55 @@ class TestSparseCausalCmajorPath:
         import lavie_tpu.kernels.flash_attention as fa
 
         orig = fa.flash_cmajor
+        orig_sparse = fa.flash_cmajor_sparse
         monkeypatch.setattr(
             fa, "flash_cmajor",
             lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
         )
-        cm = attn.apply(params, x, f, method=SparseCausalAttention.cmajor)
-        np.testing.assert_allclose(np.asarray(cm), np.asarray(std),
-                                   atol=2e-5, rtol=1e-4)
+        monkeypatch.setattr(
+            fa, "flash_cmajor_sparse",
+            lambda *a, **kw: orig_sparse(*a, **{**kw, "interpret": True}),
+        )
+        for hoist in ("1", "0"):  # copy-free kv path AND materialized path
+            monkeypatch.setenv("LAVIE_SPARSE_HOIST", hoist)
+            cm = attn.apply(params, x, f, method=SparseCausalAttention.cmajor)
+            np.testing.assert_allclose(np.asarray(cm), np.asarray(std),
+                                       atol=2e-5, rtol=1e-4)
+
+
+class TestFlashCmajorSparse:
+    """Copy-free sparse-causal kv (index-map synthesized concat) must be
+    BIT-IDENTICAL to the materialized concat path — same block sequence,
+    same online-softmax arithmetic."""
+
+    @pytest.mark.parametrize("b,f,s,h,d", [
+        (2, 3, 256, 2, 40),   # multi-video: exercises b - b % f row math
+        (1, 5, 128, 8, 16),   # frame-0 self-kv edge (prev(0) = 0)
+    ])
+    def test_bit_identical_to_materialized(self, b, f, s, h, d, monkeypatch):
+        from lavie_tpu.kernels.flash_attention import (
+            flash_cmajor, flash_cmajor_sparse)
+
+        # same kv block size on both paths — otherwise the materialized 2S
+        # axis can pick a larger block than the per-frame S axis and the
+        # online-softmax accumulation order (hence rounding) differs
+        monkeypatch.setenv("LAVIE_FC_BLKK", "128")
+
+        rng = np.random.RandomState(7)
+        c = h * d
+        bf = b * f
+        mk = lambda: jnp.asarray(rng.randn(bf, c, s), jnp.float32)
+        q, k, v = mk(), mk(), mk()
+
+        def sparse_cm(x):
+            x = x.reshape(b, f, c, s)
+            anchor = jnp.broadcast_to(x[:, 0:1], x.shape)
+            prev = jnp.concatenate([x[:, 0:1], x[:, :-1]], axis=1)
+            return jnp.concatenate([anchor, prev], axis=3).reshape(bf, c, 2 * s)
+
+        scale = d**-0.5
+        ref = flash_cmajor(q, sparse_cm(k), sparse_cm(v), heads=h,
+                           scale=scale, interpret=True)
+        out = flash_cmajor_sparse(q, k, v, frames=f, heads=h, scale=scale,
+                                  interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
