@@ -19,6 +19,16 @@ forms at the TSR L0 inner-dot shape so the answer is data, not a model:
               ceiling the packing idea is hoping to approach.
 
 Usage: python tools/bench_headpack.py [--cells 64] [--reps 8]
+
+MEASURED OUTCOME (v5e, 2026-08, DESIGN.md "Round-4 head-packing"): the
+packed3 kernel's block-diagonal construction (dual-axis strided scratch
+writes) triggered an unrecoverable `TPU backend error (Internal)` during
+the correctness check and wedged the axon worker for >10 minutes — do NOT
+run this on a shared tunnel without accepting that risk. The question it
+was built to answer is closed by the MXU pass model regardless (packed
+K=120 trades 3 padded-K passes for 1 K-pass over a 3×-taller output =
+identical tile-pass count), and the C dense variant's ceiling is
+unreachable without mixing heads.
 """
 
 from __future__ import annotations
