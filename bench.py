@@ -51,6 +51,74 @@ ROUND1_OPTION4_S = 953.0           # 9.6 + 56.1 + 8×111.0 (end of round 1)
 ROUND1_TSR_S = 56.1
 ROUND1_VSR_WINDOW_S = 111.0
 
+# Regression guard (VERDICT r4 #1: BENCH_r04 recorded TSR 15% slower than the
+# same round's cascade without anyone noticing — a backward step must never
+# again be recorded silently). Each stage line carries a
+# "regression_vs_last_round" field computed against the most recent committed
+# BENCH_r0*.json artifact, plus a loud stderr warning past the tunnel band.
+_STAGE_PREFIXES = {
+    "base": "frames/sec/chip base T2V",
+    "tsr": "TSR 16->61f",
+    "vsr": "VSR 8f window 320x512->1280x2048 50-step (incl. decode)",
+    "vsr_tail": "VSR 5f tail window",
+    "option4": "option-4 single-chip total",
+}
+REGRESSION_WARN_PCT = 5.0  # tunnel run-to-run band is ±2.5% (DESIGN.md)
+
+
+def _prev_round_values():
+    """{stage: (round_file, value)} from the MOST RECENT committed
+    BENCH_r0*.json that carries each stage metric (artifacts store the run's
+    stdout tail; stage lines are JSON)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev = {}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except Exception:
+            continue
+        for line in str(d.get("tail", "")).splitlines():
+            if not line.startswith("{"):
+                continue
+            try:
+                j = json.loads(line)
+            except Exception:
+                continue
+            metric, v = j.get("metric", ""), j.get("value")
+            if not isinstance(v, (int, float)):
+                continue
+            for stage, prefix in _STAGE_PREFIXES.items():
+                if metric.startswith(prefix):
+                    prev[stage] = (os.path.basename(path), float(v))
+    return prev
+
+
+_PREV = None
+
+
+def check_regression(stage, value, smaller_is_better=True):
+    """Returns (field_value, prev_desc) — the fractional regression vs the
+    last committed round (positive = THIS run is worse), or (None, None)
+    when no prior artifact carries the stage."""
+    global _PREV
+    if _PREV is None:
+        _PREV = _prev_round_values()
+    if stage not in _PREV:
+        return None, None
+    fname, pv = _PREV[stage]
+    if pv <= 0:
+        return None, None
+    reg = (value / pv - 1.0) if smaller_is_better else (pv / value - 1.0)
+    desc = f"{fname}={pv:g}"
+    if reg * 100 > REGRESSION_WARN_PCT:
+        log(f"*** REGRESSION WARNING: {stage} = {value:g} is "
+            f"{reg*100:.1f}% worse than the last recorded round "
+            f"({desc}; tunnel band is ±2.5%) — diagnose before recording ***")
+    return round(reg, 4), desc
+
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", "320"))
@@ -117,7 +185,7 @@ def bench_base():
     best = min(times)
     fps = frames / best
     log(f"base: runs {[f'{t:.2f}s' for t in times]}; best {best:.2f}s → {fps:.3f} frames/s")
-    return fps, best
+    return fps, best, times
 
 
 def bench_tsr():
@@ -152,10 +220,13 @@ def bench_tsr():
     t0 = time.time()
     run(0)
     log(f"tsr: compile+first-run {time.time()-t0:.1f}s")
-    times = [run(1 + i) for i in range(2)]
+    # 3 timed runs (was 2 through r4): two samples cannot distinguish a bad
+    # tunnel day from a real slowdown — the r4 TSR record (62.3/67.4 s vs the
+    # same round's 53.9 s cascade) went unnoticed for exactly that reason
+    times = [run(1 + i) for i in range(3)]
     best = min(times)
     log(f"tsr: runs {[f'{t:.1f}s' for t in times]}; best {best:.1f}s/sample")
-    return best
+    return best, times
 
 
 def bench_vsr():
@@ -191,7 +262,8 @@ def bench_vsr():
     t0 = time.time()
     run(0, frames)
     log(f"vsr: compile+first-run {time.time()-t0:.1f}s")
-    times = [run(1 + i, frames) for i in range(2)]
+    # 3 timed runs (was 2) — see bench_tsr's comment
+    times = [run(1 + i, frames) for i in range(3)]
     best = min(times)
     log(f"vsr: runs {[f'{t:.1f}s' for t in times]}; best {best:.1f}s/window")
 
@@ -238,7 +310,7 @@ def bench_vsr():
         log(f"vsr: turbo runs {[f'{t:.1f}s' for t in turbo_times]}; best {turbo_best:.1f}s/window")
         return turbo_best
 
-    return best, tail_best, run_turbo
+    return best, tail_best, run_turbo, times, tail_times
 
 
 def emit(line):
@@ -255,31 +327,53 @@ def main():
     base_s = tsr_s = vsr_s = vsr_tail_s = None
     vsr_turbo_fn = None
 
+    def spread(times):
+        return round((max(times) / min(times) - 1.0) * 100, 1)
+
+    def stage_fields(stage, value, times=None, smaller_is_better=True):
+        extra = {}
+        if times is not None:
+            sp = spread(times)
+            extra["spread_pct"] = sp
+            if sp > REGRESSION_WARN_PCT:
+                log(f"*** SPREAD WARNING: {stage} runs spread {sp:.1f}% "
+                    f"(> {REGRESSION_WARN_PCT}%) — tunnel/host noise; "
+                    "treat the best as an upper bound on true stage time ***")
+        reg, prev_desc = check_regression(stage, value, smaller_is_better)
+        if reg is not None:
+            extra["regression_vs_last_round"] = reg
+            extra["last_round"] = prev_desc
+        return extra
+
     if "base" in STAGES:
-        base_fps, base_s = bench_base()
+        base_fps, base_s, base_times = bench_base()
         last = emit({
             "metric": f"frames/sec/chip base T2V {FRAMES}x{HEIGHT}x{WIDTH} {STEPS}-step DDPM+CFG (full pipeline incl. text encode + VAE decode)",
             "value": round(base_fps, 4), "unit": "frames/s",
             "vs_baseline": round(base_fps / ROUND1_BASELINE_FPS, 4),
+            **stage_fields("base", base_fps, base_times, smaller_is_better=False),
         })
     if "tsr" in STAGES:
-        tsr_s = bench_tsr()
+        tsr_s, tsr_times = bench_tsr()
         last = emit({
             "metric": "TSR 16->61f @320x512 50-step sample (incl. VAE enc+dec)",
             "value": round(tsr_s, 2), "unit": "s/sample",
             "vs_baseline": round(ROUND1_TSR_S / tsr_s, 4),
+            **stage_fields("tsr", tsr_s, tsr_times),
         })
     if "vsr" in STAGES:
-        vsr_s, vsr_tail_s, vsr_turbo_fn = bench_vsr()
+        vsr_s, vsr_tail_s, vsr_turbo_fn, vsr_times, tail_times = bench_vsr()
         emit({
             "metric": "VSR 8f window 320x512->1280x2048 50-step (incl. decode)",
             "value": round(vsr_s, 2), "unit": "s/window",
             "vs_baseline": round(ROUND1_VSR_WINDOW_S / vsr_s, 4),
+            **stage_fields("vsr", vsr_s, vsr_times),
         })
         last = emit({
             "metric": "VSR 5f tail window 320x512->1280x2048 50-step (natural size, no padding)",
             "value": round(vsr_tail_s, 2), "unit": "s/window",
             "vs_baseline": round(ROUND1_VSR_WINDOW_S / vsr_tail_s, 4),
+            **stage_fields("vsr_tail", vsr_tail_s, tail_times),
         })
 
     # headline the moment all three stages are known — BEFORE any extras
@@ -291,6 +385,7 @@ def main():
             "metric": "option-4 single-chip total: base + TSR + 7 VSR windows + 5f tail (61f @ 1280x2048, 50 steps)",
             "value": round(opt4, 1), "unit": "s",
             "vs_baseline": round(ROUND1_OPTION4_S / opt4, 4),
+            **stage_fields("option4", opt4),
         })
 
     # opt-in extras AFTER the headline; if they emit, re-print the headline

@@ -56,6 +56,10 @@ class UNetConfig:
     # Opt-in int8 turbo conv path ("none" | "int8", nn/quant.py). NOT the
     # parity path — quantization changes outputs; default off everywhere.
     conv_quant: str = "none"
+    # Selective quantization: substring patterns matched against each conv's
+    # flax module path; matching convs stay exact even in int8 mode (the
+    # drift-vs-speed Pareto knob, tools/turbo_quality.py --sweep).
+    conv_quant_exclude: Tuple[str, ...] = ()
 
     # --- spatio-temporal variants across the cascade ---
     # "self": plain spatial self-attention (base; reference attention.py:433-441)
@@ -195,6 +199,8 @@ class VAEConfig:
     # opt-in int8 turbo convs (nn/quant.py) — NOT the parity path. Applies
     # to the wide 3×3 codec convs; conv_in/conv_out/1×1 stay exact.
     conv_quant: str = "none"
+    # selective quantization (see UNetConfig.conv_quant_exclude)
+    conv_quant_exclude: Tuple[str, ...] = ()
 
     @property
     def downscale_factor(self) -> int:

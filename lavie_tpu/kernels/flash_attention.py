@@ -382,6 +382,13 @@ def _flash_cmajor_sparse_call(q, k, v, frames, heads, scale, interpret=False,
             blk_k = _pick_block(s, blk_k // 2)
         else:
             blk_q = _pick_block(seq_q, blk_q // 2)
+    # _pick_block returns 0 when S has no multiple-of-128 divisor; the
+    # production entry is gated by flash_cmajor_supported, but direct callers
+    # would otherwise hit an opaque ZeroDivisionError / zero-sized grid here
+    assert blk_q and blk_k, (
+        f"flash_cmajor_sparse: S={s} (q S={seq_q}) must have a "
+        "multiple-of-128 divisor; use the materialized flash_cmajor path"
+    )
     half = s // blk_k
     kv_blocks = 2 * half
     f = frames

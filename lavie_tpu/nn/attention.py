@@ -416,6 +416,10 @@ class SparseCausalAttention(nn.Module):
         from lavie_tpu.kernels.flash_attention import flash_cmajor, flash_cmajor_sparse
 
         if os.environ.get("LAVIE_SPARSE_HOIST", "0") == "1":
+            # NOTE: this env read happens inside a TRACED method — under an
+            # outer jit the flag freezes at first trace; set it before the
+            # process's first forward (process-level opt-in), later changes
+            # are silently ignored for already-compiled shapes.
             # OPT-IN copy-free kv: the kernel's block index maps synthesize
             # the concat(frame 0, frame i-1) kv straight from the raw
             # per-frame projections — no (BF, E, 2S) anchor/prev

@@ -19,6 +19,15 @@ from lavie_tpu.nn.embeddings import sinusoidal_timestep_embedding
 Dtype = Any
 
 
+def _module_path(m: nn.Module) -> Optional[str]:
+    """The module's flax scope path as "a/b/c" — used by the selective
+    quantization gate (nn/quant.py exclude patterns); None outside apply."""
+    try:
+        return "/".join(m.scope.path)
+    except Exception:
+        return None
+
+
 def fold_frames(x: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
     """(B, F, H, W, C) → (B·F, H, W, C). The TPU analog of the reference's
     `rearrange(x, "b c f h w -> (b f) c h w")` per-frame fold
@@ -154,7 +163,8 @@ class QuantConv2D(nn.Module):
 
         dt = self.dtype or jnp.result_type(x, kernel)
         if not self.is_initializing() and quant_eligible(
-            self.kernel_size, x.shape[-1], self.features, dt
+            self.kernel_size, x.shape[-1], self.features, dt,
+            path=_module_path(self),
         ):
             return int8_conv2d(x, kernel, bias, self.strides, self.padding, dt)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
@@ -200,7 +210,8 @@ class InflatedConv(nn.Module):
         if (
             not self.is_initializing()
             and quant_eligible(
-                self.kernel_size, x.shape[-1], self.features, x.dtype
+                self.kernel_size, x.shape[-1], self.features, x.dtype,
+                path=_module_path(self),
             )
         ):
             p = self.variables["params"]["conv"]

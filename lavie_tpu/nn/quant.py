@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 _MODE: str = "none"
+_EXCLUDE: Tuple[str, ...] = ()
 
 VALID_MODES = ("none", "int8")
 
@@ -48,19 +49,27 @@ def conv_quant_mode() -> str:
 
 
 @contextlib.contextmanager
-def conv_quant_scope(mode: Optional[str]):
+def conv_quant_scope(mode: Optional[str], exclude: Sequence[str] = ()):
     """Trace-time scope: convs constructed/called under it may quantize.
-    `None` or "none" leaves the bf16/fp32 path untouched."""
-    global _MODE
+    `None` or "none" leaves the bf16/fp32 path untouched.
+
+    `exclude`: substring patterns matched against the conv's flax module
+    path (e.g. "up_blocks", "resnets_0/conv1", "samplers") — a matching
+    conv keeps the exact bf16/fp32 path even in int8 mode. This is the
+    selective-quantization knob for the drift-vs-speed Pareto
+    (tools/turbo_quality.py --exclude / --sweep): quantize only the layer
+    classes whose drift contribution is cheap."""
+    global _MODE, _EXCLUDE
     mode = mode or "none"
     if mode not in VALID_MODES:
         raise ValueError(f"unknown conv_quant mode {mode!r}; valid: {VALID_MODES}")
-    prev = _MODE
+    prev, prev_ex = _MODE, _EXCLUDE
     _MODE = mode
+    _EXCLUDE = tuple(exclude or ())
     try:
         yield
     finally:
-        _MODE = prev
+        _MODE, _EXCLUDE = prev, prev_ex
 
 
 # Channel threshold for the per-conv gate. Module-level so tests can lower
@@ -69,15 +78,19 @@ MIN_CHANNELS = 128
 
 
 def quant_eligible(
-    kernel_size: Tuple[int, int], cin: int, cout: int, x_dtype
+    kernel_size: Tuple[int, int], cin: int, cout: int, x_dtype,
+    path: Optional[str] = None,
 ) -> bool:
     """Per-conv gate: only the MXU-heavy 3×3 convs with wide channels.
-    conv_in/conv_out (4-7 channels) and 1×1 shortcuts stay exact."""
+    conv_in/conv_out (4-7 channels) and 1×1 shortcuts stay exact.
+    `path` (the conv's flax module path) is checked against the scope's
+    exclude patterns — substring match keeps the conv exact."""
     return (
         _MODE == "int8"
         and tuple(kernel_size) == (3, 3)
         and min(cin, cout) >= MIN_CHANNELS
         and jnp.issubdtype(x_dtype, jnp.floating)
+        and not (path and any(pat in path for pat in _EXCLUDE))
     )
 
 

@@ -463,7 +463,7 @@ class UNet3D(nn.Module):
         __call__(prefix=...) for each CFG half."""
         from lavie_tpu.nn.quant import conv_quant_scope
 
-        with conv_quant_scope(self.config.conv_quant):
+        with conv_quant_scope(self.config.conv_quant, self.config.conv_quant_exclude):
             return self._forward_prefix(sample, timesteps, class_labels)
 
     def _forward_prefix(
@@ -501,7 +501,7 @@ class UNet3D(nn.Module):
         conditioning-independent leading blocks (split-CFG sharing)."""
         from lavie_tpu.nn.quant import conv_quant_scope
 
-        with conv_quant_scope(self.config.conv_quant):
+        with conv_quant_scope(self.config.conv_quant, self.config.conv_quant_exclude):
             return self._forward(
                 sample, timesteps, encoder_hidden_states, class_labels,
                 image_frames, prefix,

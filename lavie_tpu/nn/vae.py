@@ -201,13 +201,13 @@ class AutoencoderKL(nn.Module):
         self.post_quant_conv = nn.Conv(lc, (1, 1), name="post_quant_conv", **common)
 
     def encode(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        with conv_quant_scope(self.config.conv_quant):
+        with conv_quant_scope(self.config.conv_quant, self.config.conv_quant_exclude):
             moments = self.quant_conv(self.encoder(x))
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return mean, jnp.clip(logvar, -30.0, 20.0)
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
-        with conv_quant_scope(self.config.conv_quant):
+        with conv_quant_scope(self.config.conv_quant, self.config.conv_quant_exclude):
             return self.decoder(self.post_quant_conv(z))
 
     def decode_mid(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -222,13 +222,13 @@ class AutoencoderKL(nn.Module):
         (~1.3 GB bf16 for an 8-frame 320×512 window), and the batched mid
         attention runs flash at (B·F)×(h·w) sequence — callers with much
         larger window_batch or frame counts should chunk decode_mid itself."""
-        with conv_quant_scope(self.config.conv_quant):
+        with conv_quant_scope(self.config.conv_quant, self.config.conv_quant_exclude):
             return self.decoder(self.post_quant_conv(z), phase="mid")
 
     def decode_up(self, h: jnp.ndarray) -> jnp.ndarray:
         """Upsampling half of decode; memory-dominant, chunk per frame.
         decode_up(decode_mid(z)) ≡ decode(z) exactly."""
-        with conv_quant_scope(self.config.conv_quant):
+        with conv_quant_scope(self.config.conv_quant, self.config.conv_quant_exclude):
             return self.decoder(h, phase="up")
 
     def __call__(self, x: jnp.ndarray, rng: Optional[jax.Array] = None):

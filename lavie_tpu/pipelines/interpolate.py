@@ -139,20 +139,32 @@ class VideoInterpolationPipeline:
 
     # ------------------------------------------------------------------
 
-    def _build_sampler(self, batch: int, out_frames: int, height: int, width: int,
-                       num_inference_steps: int, encode_chunk: int,
-                       use_mask: bool = False, with_text_states: bool = False,
-                       with_encoder_noise: bool = False):
+    def _make_prep(self, batch: int, out_frames: int, height: int, width: int,
+                   use_mask: bool, with_text_states: bool,
+                   with_encoder_noise: bool):
+        """ONE definition site for the conditioning/injection prep shared by
+        the scanned and stepwise builders (traced inline by the scan sampler,
+        jitted standalone by the stepwise one) — so the golden-injection path
+        and the production path cannot drift apart.
+
+        Returns prep(params, token_ids, frames, sample_rng, frame_mask=None)
+        -> (text_states, extra_2):
+          frames: (B, out_frames, H, W, 3) in [-1, 1] — the input video
+          resampled onto the 61-frame grid (reference get_input reads 61
+          frames via linspace, interpolation/sample.py:73-81).
+          frame_mask: (B, out_frames) 0=known/1=generate — masked-inpainting
+          mode (reference: interpolation/sample.py:95-132).
+          Injection (parity goldens): with_text_states reads token_ids as
+          precomputed [uncond; cond] states; with_encoder_noise reads
+          sample_rng as the VAE posterior noise ε (z = μ + e^{σ/2}·ε,
+          the reference's latent_dist.sample(),
+          interpolation/sample.py:141-143)."""
         f = self.vae_config.downscale_factor
         lat_h, lat_w = height // f, width // f
         scaling = self.vae_config.scaling_factor
         dtype = self.dtype
-        schedule = self.schedule
-        method = self.sampling.sample_method
-        unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
+        vae, text_encoder = self.vae, self.text_encoder
 
-        ts, pts = spaced_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
-        ts_arr, pts_arr = jnp.asarray(ts), jnp.asarray(pts)
         cond_idx = copied_video_indices(out_frames)
         # Only the KEY frames (every 4th slot — the reference's 16 actually-
         # encoded input frames, interpolation/sample.py:141-148) ever reach
@@ -163,23 +175,12 @@ class VideoInterpolationPipeline:
         cond_from_key = jnp.asarray(np.searchsorted(key_slots, cond_idx))
         n_key = len(key_slots)
 
-        assert not (with_encoder_noise and method == "ddpm"), (
+        assert not (with_encoder_noise and self.sampling.sample_method == "ddpm"), (
             "encoder-noise injection (parity goldens) supports the "
             "deterministic DDIM path only"
         )
 
-        def sample_fn(params, token_ids, frames, init_noise, guidance_scale,
-                      sample_rng, frame_mask=None):
-            """frames: (B, out_frames, H, W, 3) in [-1, 1] — the input video
-            resampled onto the 61-frame grid (reference get_input reads 61
-            frames via linspace, interpolation/sample.py:73-81).
-            frame_mask: (B, out_frames) 0=known/1=generate — masked-inpainting
-            mode (reference: interpolation/sample.py:95-132).
-            Injection (parity goldens): with_text_states reads token_ids as
-            precomputed [uncond; cond] states; with_encoder_noise reads
-            sample_rng as the VAE posterior noise ε (z = μ + e^{σ/2}·ε,
-            the reference's latent_dist.sample(),
-            interpolation/sample.py:141-143)."""
+        def prep(params, token_ids, frames, sample_rng, frame_mask=None):
             if with_text_states:
                 text_states = token_ids.astype(dtype)
             else:
@@ -221,7 +222,31 @@ class VideoInterpolationPipeline:
             else:
                 # copied-video conditioning: nearest base frame per output slot
                 extra = jnp.take(z, cond_from_key, axis=1)  # (B, 61, h, w, 4)
-            extra_2 = jnp.concatenate([extra, extra], axis=0).astype(dtype)
+            return text_states, jnp.concatenate([extra, extra], axis=0).astype(dtype)
+
+        return prep
+
+    def _build_sampler(self, batch: int, out_frames: int, height: int, width: int,
+                       num_inference_steps: int, encode_chunk: int,
+                       use_mask: bool = False, with_text_states: bool = False,
+                       with_encoder_noise: bool = False):
+        f = self.vae_config.downscale_factor
+        lat_h, lat_w = height // f, width // f
+        scaling = self.vae_config.scaling_factor
+        dtype = self.dtype
+        schedule = self.schedule
+        method = self.sampling.sample_method
+        unet, vae = self.unet, self.vae
+
+        ts, pts = spaced_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
+        ts_arr, pts_arr = jnp.asarray(ts), jnp.asarray(pts)
+        prep = self._make_prep(batch, out_frames, height, width, use_mask,
+                               with_text_states, with_encoder_noise)
+
+        def sample_fn(params, token_ids, frames, init_noise, guidance_scale,
+                      sample_rng, frame_mask=None):
+            text_states, extra_2 = prep(params, token_ids, frames, sample_rng,
+                                        frame_mask)
 
             x = init_noise
             # DDPM ancestral noise (use_ddim_sample_loop: False — FIXED_LARGE
@@ -288,56 +313,12 @@ class VideoInterpolationPipeline:
         dtype = self.dtype
         schedule = self.schedule
         method = self.sampling.sample_method
-        unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
+        unet, vae = self.unet, self.vae
 
         ts, pts = spaced_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
-        cond_idx = copied_video_indices(out_frames)
-        # key-frame-only encode in the copy-no-mask path (see _build_sampler)
-        key_slots = np.unique(cond_idx)
-        key_slots_j = jnp.asarray(key_slots)
-        cond_from_key = jnp.asarray(np.searchsorted(key_slots, cond_idx))
-        n_key = len(key_slots)
-
-        assert not (with_encoder_noise and method == "ddpm"), (
-            "encoder-noise injection (parity goldens) supports the "
-            "deterministic DDIM path only"
-        )
-
-        @jax.jit
-        def prep_fn(params, token_ids, frames, sample_rng, frame_mask=None):
-            if with_text_states:
-                text_states = token_ids.astype(dtype)
-            else:
-                text_states = text_encoder.apply(
-                    {"params": params["text_encoder"]}, token_ids
-                ).astype(dtype)
-            if use_mask:
-                frames = frames * (1.0 - frame_mask)[:, :, None, None, None]
-                enc_frames, n_enc = frames, out_frames
-            else:
-                enc_frames = jnp.take(frames, key_slots_j, axis=1)
-                n_enc = n_key
-            x2d = enc_frames.reshape(batch * n_enc, height, width, 3).astype(dtype)
-            mean, logvar = vae.apply(
-                {"params": params["vae"]}, x2d, method=AutoencoderKL.encode
-            )
-            if with_encoder_noise:
-                z = mean + jnp.exp(0.5 * logvar) * sample_rng.astype(mean.dtype)
-            else:
-                z = vae.apply(
-                    {"params": params["vae"]}, mean, logvar, sample_rng,
-                    method=AutoencoderKL.sample_posterior,
-                )
-            z = (z.astype(jnp.float32) * scaling).reshape(batch, n_enc, lat_h, lat_w, -1)
-            if use_mask:
-                mask_lat = jnp.broadcast_to(
-                    frame_mask[:, :, None, None, None],
-                    (batch, out_frames, lat_h, lat_w, 1),
-                ).astype(jnp.float32)
-                extra = jnp.concatenate([mask_lat, z], axis=-1)
-            else:
-                extra = jnp.take(z, cond_from_key, axis=1)
-            return text_states, jnp.concatenate([extra, extra], axis=0).astype(dtype)
+        prep_fn = jax.jit(self._make_prep(batch, out_frames, height, width,
+                                          use_mask, with_text_states,
+                                          with_encoder_noise))
 
         def _step(params, x, text_states, extra_2, t, pt, guidance, noise_key):
             xin = jnp.concatenate([x, x], axis=0).astype(dtype)

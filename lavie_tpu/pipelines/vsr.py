@@ -166,30 +166,27 @@ class VideoSuperResolutionPipeline:
 
     # ------------------------------------------------------------------
 
-    def _build_sampler(self, batch: int, frames: int, height: int, width: int,
-                       num_inference_steps: int, inject: bool = False):
+    def _make_prep(self, batch: int, frames: int, height: int, width: int,
+                   inject: bool):
+        """ONE definition site for the conditioning/injection prep shared by
+        the scanned and stepwise builders (traced inline by the scan sampler,
+        jitted standalone by the stepwise one) — so the golden-injection path
+        and the production path cannot drift apart.
+
+        Returns prep(params, token_ids, frames_in, noise_level, key) ->
+        (text_states, image_c, x):
+          frames_in: (B, F, H, W, 3) in [-1, 1]. image_c is the low-res
+          conditioning DDPM-noised at noise_level (reference: …3d.py:631-634),
+          x the initial latents.
+          Injection (parity goldens, inject=True): token_ids is the
+          precomputed [uncond; cond] text states and key is the tuple
+          (lr_noise, init_latents) — the reference's low-res augmentation ε
+          and prepare_latents_3d randn (…3d.py:441-452)."""
         dtype = self.dtype
-        schedule = self.schedule
-        scaling = self.vae_config.scaling_factor
-        upscale = self.vae_config.downscale_factor  # f4: decoder upsamples ×4
-        unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
-        decode_chunk = self.decode_chunk
+        text_encoder = self.text_encoder
+        low_res_schedule = self.low_res_schedule
 
-        # stock diffusers DDIM spacing: BOTH reference entry points replace
-        # the vendored linspace scheduler with DDIMScheduler.from_config(the
-        # x4-upscaler config, steps_offset=1, set_alpha_to_one=False,
-        # beta_schedule overridden to linear) — vsr/sample.py:49-53,
-        # predict.py:148-156. The vendored scheduling_ddim.py linspace is dead.
-        ts = ddim_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
-        pts = prev_timesteps(ts, self.sampling.num_train_timesteps)
-        ts_arr, pts_arr = jnp.asarray(ts), jnp.asarray(pts)
-
-        def sample_fn(params, token_ids, frames_in, noise_level, guidance_scale, key):
-            """frames_in: (B, F, H, W, 3) in [-1, 1].
-            Injection (parity goldens, inject=True): token_ids is the
-            precomputed [uncond; cond] text states and key is the tuple
-            (lr_noise, init_latents) — the reference's low-res augmentation ε
-            (…3d.py:631-634) and prepare_latents_3d randn (…3d.py:441-452)."""
+        def prep(params, token_ids, frames_in, noise_level, key):
             if inject:
                 text_states = token_ids.astype(dtype)
                 lr_noise, x0 = key
@@ -201,21 +198,45 @@ class VideoSuperResolutionPipeline:
                 lr_key, lat_key = jax.random.split(key)
                 # DDPM-noise the low-res conditioning at noise_level
                 noise = jax.random.normal(lr_key, frames_in.shape, dtype=jnp.float32)
-            image = add_noise(
-                self.low_res_schedule,
+            image_c = add_noise(
+                low_res_schedule,
                 frames_in.astype(jnp.float32),
                 noise,
                 jnp.broadcast_to(noise_level, (batch,)),
-            )
-            image_c = image.astype(dtype)
-            nl1 = jnp.broadcast_to(noise_level, (batch,))
-
+            ).astype(dtype)
             if inject:
                 x = x0.astype(jnp.float32)
             else:
                 x = jax.random.normal(
                     lat_key, (batch, frames, height, width, 4), dtype=jnp.float32
                 )
+            return text_states, image_c, x
+
+        return prep
+
+    def _build_sampler(self, batch: int, frames: int, height: int, width: int,
+                       num_inference_steps: int, inject: bool = False):
+        dtype = self.dtype
+        schedule = self.schedule
+        scaling = self.vae_config.scaling_factor
+        upscale = self.vae_config.downscale_factor  # f4: decoder upsamples ×4
+        unet, vae = self.unet, self.vae
+        decode_chunk = self.decode_chunk
+
+        # stock diffusers DDIM spacing: BOTH reference entry points replace
+        # the vendored linspace scheduler with DDIMScheduler.from_config(the
+        # x4-upscaler config, steps_offset=1, set_alpha_to_one=False,
+        # beta_schedule overridden to linear) — vsr/sample.py:49-53,
+        # predict.py:148-156. The vendored scheduling_ddim.py linspace is dead.
+        ts = ddim_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
+        pts = prev_timesteps(ts, self.sampling.num_train_timesteps)
+        ts_arr, pts_arr = jnp.asarray(ts), jnp.asarray(pts)
+        prep = self._make_prep(batch, frames, height, width, inject)
+
+        def sample_fn(params, token_ids, frames_in, noise_level, guidance_scale, key):
+            text_states, image_c, x = prep(params, token_ids, frames_in,
+                                           noise_level, key)
+            nl1 = jnp.broadcast_to(noise_level, (batch,))
 
             def unet_half(x, t, text_half, prefix=None):
                 xin = jnp.concatenate([x.astype(dtype), image_c], axis=-1)  # 7ch
@@ -320,7 +341,7 @@ class VideoSuperResolutionPipeline:
         schedule = self.schedule
         scaling = self.vae_config.scaling_factor
         upscale = self.vae_config.downscale_factor
-        unet, vae, text_encoder = self.unet, self.vae, self.text_encoder
+        unet, vae = self.unet, self.vae
         decode_chunk = self.decode_chunk
 
         # stock diffusers DDIM spacing: BOTH reference entry points replace
@@ -331,31 +352,7 @@ class VideoSuperResolutionPipeline:
         ts = ddim_timesteps(num_inference_steps, self.sampling.num_train_timesteps)
         pts = prev_timesteps(ts, self.sampling.num_train_timesteps)
 
-        @jax.jit
-        def prep_fn(params, token_ids, frames_in, noise_level, key):
-            # inject=True: token_ids = [uncond; cond] states, key = (lr_noise,
-            # init_latents) — see _build_sampler's sample_fn docstring
-            if inject:
-                text_states = token_ids.astype(dtype)
-                lr_noise, x0 = key
-                noise = lr_noise.astype(jnp.float32)
-            else:
-                text_states = text_encoder.apply(
-                    {"params": params["text_encoder"]}, token_ids
-                ).astype(dtype)
-                lr_key, lat_key = jax.random.split(key)
-                noise = jax.random.normal(lr_key, frames_in.shape, dtype=jnp.float32)
-            image = add_noise(
-                self.low_res_schedule, frames_in.astype(jnp.float32), noise,
-                jnp.broadcast_to(noise_level, (batch,)),
-            ).astype(dtype)
-            if inject:
-                x = x0.astype(jnp.float32)
-            else:
-                x = jax.random.normal(
-                    lat_key, (batch, frames, height, width, 4), dtype=jnp.float32
-                )
-            return text_states, image, x
+        prep_fn = jax.jit(self._make_prep(batch, frames, height, width, inject))
 
         @jax.jit
         def prefix_fn(params, x, image_c, t, noise_level):
@@ -566,6 +563,23 @@ class VideoSuperResolutionPipeline:
         # needs no cross-window collectives (the video analog of data
         # parallelism; the reference runs them serially on one GPU).
         outs = [None] * len(chunks)
+
+        # Host-work overlap (depth-1 software pipeline): materializing a
+        # window's output (np.asarray of the ~63 MB uint8 frame block — the
+        # dominant per-window host cost, ~3.4 s/window measured in the r4
+        # cascade reconciliation) happens only AFTER the NEXT window's
+        # programs have been dispatched. JAX dispatch is async, so the fetch
+        # and the next window's host prep both run while the device denoises;
+        # the device pins only the finished window's uint8 output (+63 MB)
+        # extra. Pure host-sync reordering — results are bit-identical.
+        pending = None  # (g0, n_real, device_result)
+
+        def _materialize(g0, n_real, out_dev):
+            out = np.asarray(out_dev)
+            for j in range(n_real):
+                start, end = spans[g0 + j]
+                outs[g0 + j] = out[j][: end - start]
+
         for g0 in range(0, len(chunks), group):
             batch_chunks = chunks[g0 : g0 + group]
             n_real = len(batch_chunks)
@@ -614,13 +628,13 @@ class VideoSuperResolutionPipeline:
                     "sp" if gwin % max(self.mesh.shape.get("sp", 1), 1) == 0 else None,
                 )
                 batch_in = jax.device_put(batch_in, NamedSharding(self.mesh, spec))
-            out = np.asarray(
-                self._compiled[cache_key](
-                    self.params, token_ids, batch_in,
-                    jnp.int32(nl), jnp.float32(guidance), sub,
-                )
+            out_dev = self._compiled[cache_key](
+                self.params, token_ids, batch_in,
+                jnp.int32(nl), jnp.float32(guidance), sub,
             )
-            for j in range(n_real):
-                start, end = spans[g0 + j]
-                outs[g0 + j] = out[j][: end - start]
+            if pending is not None:
+                _materialize(*pending)  # overlaps with this window's denoise
+            pending = (g0, n_real, out_dev)
+        if pending is not None:
+            _materialize(*pending)
         return VSROutput(video=np.concatenate(outs, axis=0))

@@ -47,6 +47,7 @@ _SLOW_MODULES = {
     "test_vsr",
     "test_interpolate",
     "test_train",
+    "test_fullwidth_loop",  # 909M torch UNet on one CPU core (~10 min)
 }
 
 

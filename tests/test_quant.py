@@ -91,6 +91,50 @@ class TestGates:
             assert not quant_eligible((3, 3), 256, 256, jnp.int32)  # non-float
         assert quant.conv_quant_mode() == "none"
 
+    def test_exclude_patterns(self):
+        # selective quantization: a path matching any exclude pattern stays
+        # exact; non-matching (or pathless) convs still quantize
+        with conv_quant_scope("int8", exclude=("up_blocks", "resnets_0/conv1")):
+            assert quant_eligible((3, 3), 128, 128, jnp.bfloat16)  # no path
+            assert quant_eligible(
+                (3, 3), 128, 128, jnp.bfloat16,
+                path="down_blocks_0/resnets_1/conv2/conv")
+            assert not quant_eligible(
+                (3, 3), 128, 128, jnp.bfloat16,
+                path="up_blocks_2/resnets_1/conv2/conv")
+            assert not quant_eligible(
+                (3, 3), 128, 128, jnp.bfloat16,
+                path="down_blocks_0/resnets_0/conv1/conv")
+        # scope restores the empty exclude list
+        with conv_quant_scope("int8"):
+            assert quant_eligible(
+                (3, 3), 128, 128, jnp.bfloat16,
+                path="up_blocks_2/resnets_1/conv2/conv")
+
+    def test_exclude_reproduces_exact_path(self, monkeypatch):
+        # a conv whose module path matches an exclude pattern must run the
+        # EXACT conv (bit-identical), not the quantized one
+        import flax.linen as nn
+
+        monkeypatch.setattr(quant, "MIN_CHANNELS", 8)
+
+        class Wrap(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return InflatedConv(32, (3, 3), dtype=jnp.float32,
+                                    name="myconv")(x)
+
+        mod = Wrap()
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 6, 6, 32))
+        params = mod.init(jax.random.PRNGKey(1), x)
+        y_exact = mod.apply(params, x)
+        with conv_quant_scope("int8"):
+            y_q = mod.apply(params, x)
+        with conv_quant_scope("int8", exclude=("myconv",)):
+            y_ex = mod.apply(params, x)
+        assert not np.allclose(np.asarray(y_q), np.asarray(y_exact))
+        assert np.array_equal(np.asarray(y_ex), np.asarray(y_exact))
+
     def test_bad_mode_raises(self):
         with pytest.raises(ValueError):
             with conv_quant_scope("fp4"):

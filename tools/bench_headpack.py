@@ -113,6 +113,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells", type=int, default=64)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument(
+        "--run-packed3", action="store_true",
+        help="ALSO run the B packed3 variant. DANGER: its block-diagonal "
+        "dual-axis strided VMEM scratch writes trigger an unrecoverable "
+        "'TPU backend error (Internal)' on the current toolchain and wedge "
+        "the shared axon worker for >10 min (DESIGN.md round-4 "
+        "head-packing). Default runs only the safe A/C variants.",
+    )
     args = ap.parse_args()
     cells = args.cells
 
@@ -121,21 +129,24 @@ def main():
     q = jnp.asarray(rng.randn(cells, C, BLK_Q).astype(np.float32), jnp.bfloat16)
 
     perhead = _call(_kernel_perhead, cells)
-    packed = _call(_kernel_packed3, cells,
-                   [pltpu.VMEM((3 * D, 3 * BLK_K), jnp.bfloat16)])
     dense = _call(_kernel_dense, cells)
 
-    # correctness: packed must equal perhead exactly (same dots, reordered)
-    a = np.asarray(perhead(k[:2], q[:2]), np.float32)
-    b = np.asarray(packed(k[:2], q[:2]), np.float32)
-    err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-8)
-    print(f"packed3 vs perhead rel_err = {err:.2e}", flush=True)
-    assert err < 2e-2
+    variants = [("A perhead", perhead)]
+    if args.run_packed3:
+        packed = _call(_kernel_packed3, cells,
+                       [pltpu.VMEM((3 * D, 3 * BLK_K), jnp.bfloat16)])
+        # correctness: packed must equal perhead exactly (same dots, reordered)
+        a = np.asarray(perhead(k[:2], q[:2]), np.float32)
+        b = np.asarray(packed(k[:2], q[:2]), np.float32)
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-8)
+        print(f"packed3 vs perhead rel_err = {err:.2e}", flush=True)
+        assert err < 2e-2
+        variants.append(("B packed3", packed))
+    variants.append(("C dense-ceiling", dense))
 
     useful = 2 * cells * HEADS * BLK_K * BLK_Q * D  # FLOPs actually needed
 
-    for tag, fn in (("A perhead", perhead), ("B packed3", packed),
-                    ("C dense-ceiling", dense)):
+    for tag, fn in variants:
         @jax.jit
         def chain(k, q, fn=fn):
             acc = jnp.float32(0)

@@ -75,7 +75,18 @@ def _fp16_grid(*mods) -> None:
                     b.copy_(b.half().float())
 
 
-def main(out_path: str = "tests/golden/pipeline_base.npz") -> str:
+def main(out_path: str = "tests/golden/pipeline_base.npz", *,
+         steps: int = STEPS, guidance: float = GUIDANCE,
+         frames: int = FRAMES, height: int = HEIGHT, width: int = WIDTH,
+         ctx_len: int = CTX_LEN, ctx_dim: int = CTX_DIM,
+         unet_cfg: dict = UNET_CFG, vae_cfg: dict = VAE_CFG,
+         compress: bool = True) -> str:
+    """Dump the base-pipeline golden. Defaults reproduce the committed tiny
+    golden; tests/test_fullwidth_loop.py calls this with the PRODUCTION
+    widths (909M UNet / SD f8 VAE) and tiny spatial/step counts, writing to
+    a temp dir (compress=False: savez_compressed on ~2 GB of fp16 weights is
+    minutes of CPU) — full-width loop-level parity without committing
+    GB-scale goldens (VERDICT r4 #4)."""
     import torch
 
     import ref_shim
@@ -88,19 +99,19 @@ def main(out_path: str = "tests/golden/pipeline_base.npz") -> str:
     torch.manual_seed(60)
     unet_t = ref_unet_mod.UNet3DConditionModel(
         in_channels=4, out_channels=4,
-        block_out_channels=UNET_CFG["block_out_channels"],
-        layers_per_block=UNET_CFG["layers_per_block"],
-        norm_num_groups=UNET_CFG["norm_num_groups"],
-        cross_attention_dim=CTX_DIM,
-        attention_head_dim=UNET_CFG["num_attention_heads"],
+        block_out_channels=unet_cfg["block_out_channels"],
+        layers_per_block=unet_cfg["layers_per_block"],
+        norm_num_groups=unet_cfg["norm_num_groups"],
+        cross_attention_dim=ctx_dim,
+        attention_head_dim=unet_cfg["num_attention_heads"],
     ).eval()
     randomize_zero_weights(unet_t, seed=61)
 
     torch.manual_seed(62)
     vae_t = TestVAEParity._torch_vae(
-        boc=VAE_CFG["block_out_channels"],
-        layers=VAE_CFG["layers_per_block"],
-        groups=VAE_CFG["norm_num_groups"], latent=4,
+        boc=vae_cfg["block_out_channels"],
+        layers=vae_cfg["layers_per_block"],
+        groups=vae_cfg["norm_num_groups"], latent=4,
     ).eval()
 
     _fp16_grid(unet_t, vae_t)
@@ -116,15 +127,15 @@ def main(out_path: str = "tests/golden/pipeline_base.npz") -> str:
         beta_schedule="linear", clip_sample=True, set_alpha_to_one=False,
         steps_offset=1, prediction_type="epsilon",
     )
-    sch.num_inference_steps = STEPS
-    ratio = 1000 // STEPS
-    ts = (np.arange(0, STEPS) * ratio).round()[::-1].astype(np.int64) + 1
+    sch.num_inference_steps = steps
+    ratio = 1000 // steps
+    ts = (np.arange(0, steps) * ratio).round()[::-1].astype(np.int64) + 1
     sch.timesteps = torch.from_numpy(ts)
 
     g = torch.Generator().manual_seed(63)
-    lat_h, lat_w = HEIGHT // 8, WIDTH // 8
-    latents0 = torch.randn(1, 4, FRAMES, lat_h, lat_w, generator=g)
-    text_states = torch.randn(2, CTX_LEN, CTX_DIM, generator=g)  # [uncond; cond]
+    lat_h, lat_w = height // 8, width // 8
+    latents0 = torch.randn(1, 4, frames, lat_h, lat_w, generator=g)
+    text_states = torch.randn(2, ctx_len, ctx_dim, generator=g)  # [uncond; cond]
 
     # --- reference denoise loop (pipeline_videogen.py:663-689) ---
     x = latents0.clone()  # DDIM init_noise_sigma = 1
@@ -134,12 +145,12 @@ def main(out_path: str = "tests/golden/pipeline_base.npz") -> str:
             t_b = torch.full((2,), int(t), dtype=torch.long)
             pred = unet_t(xin, t_b, encoder_hidden_states=text_states).sample
             uncond, cond = pred.chunk(2, dim=0)
-            eps = uncond + GUIDANCE * (cond - uncond)
+            eps = uncond + guidance * (cond - uncond)
             x = sch.step(eps, int(t), x).prev_sample
 
         # --- decode_latents (:422-429): ×1/scaling, per-frame VAE decode ---
         frames_rgb = []
-        for fi in range(FRAMES):
+        for fi in range(frames):
             z = x[:, :, fi] / SCALING  # (1, 4, lat_h, lat_w)
             frames_rgb.append(vae_t.decode(z))
         video = torch.stack(frames_rgb, dim=1)  # (1, F, 3, H, W)
@@ -157,10 +168,11 @@ def main(out_path: str = "tests/golden/pipeline_base.npz") -> str:
     for k, v in vae_t.state_dict().items():      # already on the fp16 grid)
         arrays[f"vae::{k}"] = v.half().numpy()
     arrays["meta"] = np.array(json.dumps(dict(
-        steps=STEPS, guidance=GUIDANCE, unet=UNET_CFG,
-        vae=VAE_CFG, frames=FRAMES, height=HEIGHT, width=WIDTH,
+        steps=steps, guidance=guidance, unet=unet_cfg,
+        vae=vae_cfg, frames=frames, height=height, width=width,
     )))
-    np.savez_compressed(out_path, **{
+    save = np.savez_compressed if compress else np.savez
+    save(out_path, **{
         k: (np.asarray(v) if not isinstance(v, np.ndarray) else v)
         for k, v in arrays.items()
     })

@@ -47,12 +47,21 @@ class _TimedStage:
     reports per-stage walls without being modified."""
 
     def __init__(self, inner, name, book):
-        self._inner = inner
-        self._name = name
-        self._book = book
+        object.__setattr__(self, "_inner", inner)
+        object.__setattr__(self, "_name", name)
+        object.__setattr__(self, "_book", book)
 
     def __getattr__(self, k):
         return getattr(self._inner, k)
+
+    def __setattr__(self, k, v):
+        # forward writes too: cascade.set_mesh does `self.vsr.mesh = mesh` —
+        # setting that on the wrapper while the inner pipeline reads its own
+        # stale attribute would be silently wrong on the multi-chip path
+        if k.startswith("_"):
+            object.__setattr__(self, k, v)
+        else:
+            setattr(self._inner, k, v)
 
     def __call__(self, *a, **kw):
         log(f"stage {self._name}: start")
@@ -74,6 +83,9 @@ def main():
     ap.add_argument("--no-warm", action="store_true",
                     help="skip the second (warm) run")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--save", metavar="PATH",
+                    help="also write the final JSON record to PATH (e.g. "
+                    "CASCADE_r05.json — read by tools/project_option4.py)")
     args = ap.parse_args()
 
     from lavie_tpu.pipelines.cascade import VideoCascadePipeline
@@ -127,14 +139,19 @@ def main():
     glue = None
     if warm is not None:
         glue = warm - sum(warm_stages.values())
-    print(json.dumps({
+    record = {
         "cold_s": round(cold, 1),
         "cold_stages": {k: round(v, 1) for k, v in cold_stages.items()},
         "warm_s": round(warm, 1) if warm is not None else None,
         "stages_warm": {k: round(v, 1) for k, v in (warm_stages or {}).items()},
         "glue_outside_stages_s": round(glue, 2) if glue is not None else None,
         "output_shape": list(out.video.shape),
-    }), flush=True)
+    }
+    print(json.dumps(record), flush=True)
+    if args.save:
+        with open(args.save, "w") as f:
+            json.dump(record, f, indent=2)
+        log(f"record saved to {args.save}")
 
 
 if __name__ == "__main__":
