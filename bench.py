@@ -138,6 +138,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def adaptive_runs(run, stage, seed0, n=3, max_n=5, spread_pct=5.0):
+    """Best-of-N with adaptive extension: when the run-to-run spread exceeds
+    the tunnel band (a measured 23.9% TSR spread in one r5 session vs the
+    ±2.5% typical band), take up to max_n samples so the best-of reaches the
+    fast envelope instead of recording one noisy session as a regression.
+    The spread is reported alongside the best either way."""
+    times = [run(seed0 + i) for i in range(n)]
+    while (len(times) < max_n
+           and (max(times) / min(times) - 1.0) * 100 > spread_pct):
+        log(f"{stage}: spread {((max(times)/min(times))-1)*100:.1f}% > "
+            f"{spread_pct}% — extra run {len(times)+1}/{max_n}")
+        times.append(run(seed0 + len(times)))
+    return times
+
+
 def bench_base():
     """Base T2V through the SHIPPED pipeline class (text encode → CFG-doubled
     UNet → DDPM stepper → VAE decode), not a hand-rebuilt subset — the
@@ -223,7 +238,7 @@ def bench_tsr():
     # 3 timed runs (was 2 through r4): two samples cannot distinguish a bad
     # tunnel day from a real slowdown — the r4 TSR record (62.3/67.4 s vs the
     # same round's 53.9 s cascade) went unnoticed for exactly that reason
-    times = [run(1 + i) for i in range(3)]
+    times = adaptive_runs(run, "tsr", 1)
     best = min(times)
     log(f"tsr: runs {[f'{t:.1f}s' for t in times]}; best {best:.1f}s/sample")
     return best, times
@@ -263,7 +278,7 @@ def bench_vsr():
     run(0, frames)
     log(f"vsr: compile+first-run {time.time()-t0:.1f}s")
     # 3 timed runs (was 2) — see bench_tsr's comment
-    times = [run(1 + i, frames) for i in range(3)]
+    times = adaptive_runs(lambda seed: run(seed, frames), "vsr", 1)
     best = min(times)
     log(f"vsr: runs {[f'{t:.1f}s' for t in times]}; best {best:.1f}s/window")
 

@@ -360,24 +360,38 @@ class VideoInterpolationPipeline:
         scan_chunk = self.scan_chunk
 
         @jax.jit
-        def decode_fn(params, x):
-            z_out = (x / scaling).astype(dtype).reshape(
+        def decode_prep_fn(params, x):
+            return (x / scaling).astype(dtype).reshape(
                 batch * out_frames, lat_h, lat_w, -1
             )
+
+        @jax.jit
+        def decode_chunk_fn(params, z_chunk):
+            # finalize PER CHUNK (scale/round→uint8): elementwise, so
+            # bit-identical to a whole-video finalize, and the uint8 chunk
+            # streams to host while the next chunk decodes (same host-work
+            # overlap as the VSR streaming decode)
+            rgb = vae.apply(
+                {"params": params["vae"]}, z_chunk, method=AutoencoderKL.decode
+            ).astype(jnp.float32)
+            rgb = jnp.clip(rgb / 2 + 0.5, 0.0, 1.0)
+            return jnp.round(rgb * 255.0).astype(jnp.uint8)
+
+        def decode_fn(params, x):
+            z_out = decode_prep_fn(params, x)
             n = batch * out_frames
             chunk = encode_chunk if encode_chunk and encode_chunk < n else n
-            chunks = [
-                vae.apply(
-                    {"params": params["vae"]},
-                    jax.lax.dynamic_slice_in_dim(z_out, i, min(chunk, n - i), 0),
-                    method=AutoencoderKL.decode,
-                )
-                for i in range(0, n, chunk)
-            ]
-            rgb = jnp.concatenate(chunks, axis=0)
-            video = rgb.astype(jnp.float32).reshape(batch, out_frames, height, width, 3)
-            video = jnp.clip(video / 2 + 0.5, 0.0, 1.0)
-            return jnp.round(video * 255.0).astype(jnp.uint8)
+            host_chunks = []
+            pending = None
+            for i in range(0, n, chunk):
+                rgb_c = decode_chunk_fn(params, z_out[i : i + min(chunk, n - i)])
+                if pending is not None:
+                    host_chunks.append(np.asarray(pending))
+                pending = rgb_c
+            host_chunks.append(np.asarray(pending))
+            return np.concatenate(host_chunks, axis=0).reshape(
+                batch, out_frames, height, width, 3
+            )
 
         def sample_fn(params, token_ids, frames, init_noise, guidance, sample_rng,
                       frame_mask=None):

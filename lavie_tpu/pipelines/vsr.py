@@ -390,11 +390,16 @@ class VideoSuperResolutionPipeline:
 
         @jax.jit
         def decode_chunk_fn(params, h_chunk):
+            # finalize PER CHUNK (clip/scale/round→uint8): elementwise, so
+            # bit-identical to the old whole-window finalize, and the uint8
+            # chunk can stream to host while the NEXT chunk decodes
             rgb = vae.apply(
                 {"params": params["vae"]}, h_chunk,
                 method=AutoencoderKL.decode_up,
             ).astype(jnp.float32)
-            return jnp.clip(rgb, -1.0, 1.0)
+            rgb = jnp.clip(rgb, -1.0, 1.0)
+            rgb = jnp.clip(rgb / 2 + 0.5, 0.0, 1.0)
+            return jnp.round(rgb * 255.0).astype(jnp.uint8)
 
         ts_arr, pts_arr = jnp.asarray(ts), jnp.asarray(pts)
 
@@ -479,7 +484,22 @@ class VideoSuperResolutionPipeline:
                 params, z.reshape(batch * frames, height, width, 4)
             )
             h_mid = h_mid.reshape(batch, frames, height, width, -1)
-            outs = []
+            # Streaming decode (r5, VERDICT r4 #2): fetch chunk i-1 to host
+            # WHILE chunk i decodes on device — the per-window host fetch
+            # (~3.4 s/window measured in the r4 cascade reconciliation) hides
+            # under the window's own decode compute. Only one ~8 MB uint8
+            # chunk is ever pinned, and never during the denoise-phase HBM
+            # peak (a cross-WINDOW variant of this overlap pinned the whole
+            # 63 MB window output through the next window's denoise and
+            # OOM'd at full size — measured RESOURCE_EXHAUSTED).
+            import os as _os2
+            import sys as _sys
+            import time as _time
+
+            timing = _os2.environ.get("LAVIE_VSR_TIMING", "0") == "1"
+            fetch_wait = 0.0
+            host_chunks = []
+            pending = None
             for i in range(0, frames, decode_chunk):
                 c = min(decode_chunk, frames - i)
                 rgb_c = decode_chunk_fn(
@@ -487,13 +507,20 @@ class VideoSuperResolutionPipeline:
                     h_mid[:, i : i + c].reshape(
                         batch * c, height, width, h_mid.shape[-1]
                     ),
-                )
-                outs.append(
-                    rgb_c.reshape(batch, c, height * upscale, width * upscale, 3)
-                )
-            video = jnp.concatenate(outs, axis=1)
-            video = jnp.clip(video / 2 + 0.5, 0.0, 1.0)
-            return jnp.round(video * 255.0).astype(jnp.uint8)
+                ).reshape(batch, c, height * upscale, width * upscale, 3)
+                if pending is not None:
+                    t0 = _time.perf_counter()
+                    host_chunks.append(np.asarray(pending))
+                    fetch_wait += _time.perf_counter() - t0
+                pending = rgb_c
+            t0 = _time.perf_counter()
+            host_chunks.append(np.asarray(pending))
+            fetch_wait += _time.perf_counter() - t0
+            if timing:
+                print(f"[vsr-timing] decode fetch wait {fetch_wait:.2f}s "
+                      f"({len(host_chunks)} chunks)",
+                      file=_sys.stderr, flush=True)
+            return np.concatenate(host_chunks, axis=1)
 
         return sample_fn
 
@@ -562,25 +589,19 @@ class VideoSuperResolutionPipeline:
         # all windows run as ONE batched program, sharded over chips; XLA
         # needs no cross-window collectives (the video analog of data
         # parallelism; the reference runs them serially on one GPU).
+        # Per-window host work overlaps device compute INSIDE the stepwise
+        # sampler (streaming decode — see _build_stepwise); a cross-window
+        # depth-1 pipeline was tried first and OOM'd at full size (it pinned
+        # a finished window's 63 MB output through the next window's
+        # denoise-phase HBM peak, which runs within tens of MB of the
+        # 15.75 GB ceiling — measured RESOURCE_EXHAUSTED).
+        import os as _os
+        import time as _time
+
+        timing = _os.environ.get("LAVIE_VSR_TIMING", "0") == "1"
         outs = [None] * len(chunks)
-
-        # Host-work overlap (depth-1 software pipeline): materializing a
-        # window's output (np.asarray of the ~63 MB uint8 frame block — the
-        # dominant per-window host cost, ~3.4 s/window measured in the r4
-        # cascade reconciliation) happens only AFTER the NEXT window's
-        # programs have been dispatched. JAX dispatch is async, so the fetch
-        # and the next window's host prep both run while the device denoises;
-        # the device pins only the finished window's uint8 output (+63 MB)
-        # extra. Pure host-sync reordering — results are bit-identical.
-        pending = None  # (g0, n_real, device_result)
-
-        def _materialize(g0, n_real, out_dev):
-            out = np.asarray(out_dev)
-            for j in range(n_real):
-                start, end = spans[g0 + j]
-                outs[g0 + j] = out[j][: end - start]
-
         for g0 in range(0, len(chunks), group):
+            t_win = _time.perf_counter()
             batch_chunks = chunks[g0 : g0 + group]
             n_real = len(batch_chunks)
             while len(batch_chunks) < group:  # pad the window batch for dp
@@ -628,13 +649,19 @@ class VideoSuperResolutionPipeline:
                     "sp" if gwin % max(self.mesh.shape.get("sp", 1), 1) == 0 else None,
                 )
                 batch_in = jax.device_put(batch_in, NamedSharding(self.mesh, spec))
-            out_dev = self._compiled[cache_key](
-                self.params, token_ids, batch_in,
-                jnp.int32(nl), jnp.float32(guidance), sub,
+            out = np.asarray(
+                self._compiled[cache_key](
+                    self.params, token_ids, batch_in,
+                    jnp.int32(nl), jnp.float32(guidance), sub,
+                )
             )
-            if pending is not None:
-                _materialize(*pending)  # overlaps with this window's denoise
-            pending = (g0, n_real, out_dev)
-        if pending is not None:
-            _materialize(*pending)
+            for j in range(n_real):
+                start, end = spans[g0 + j]
+                outs[g0 + j] = out[j][: end - start]
+            if timing:
+                import sys as _sys
+
+                print(f"[vsr-timing] window {g0 // group} "
+                      f"({gwin}f): {_time.perf_counter() - t_win:.2f}s",
+                      file=_sys.stderr, flush=True)
         return VSROutput(video=np.concatenate(outs, axis=0))

@@ -43,6 +43,47 @@ FULL_SD_VAE = dict(
 )
 
 
+FULL_VSR_UNET = dict(
+    in_channels=7, block_out_channels=(256, 512, 512, 1024),
+    down_block_types=(
+        "DownBlock3D", "CrossAttnDownBlock3D",
+        "CrossAttnDownBlock3D", "CrossAttnDownBlock3D",
+    ),
+    up_block_types=(
+        "CrossAttnUpBlock3D", "CrossAttnUpBlock3D",
+        "CrossAttnUpBlock3D", "UpBlock3D",
+    ),
+    layers_per_block=2, num_attention_heads=8, norm_num_groups=32,
+    cross_attention_dim=1024,
+    only_cross_attention=(True, True, True, False),
+    use_linear_projection=True, class_embed_type="num_embeds",
+    num_class_embeds=1000, use_temporal_modules=True,
+    transformer_temporal_resblock=True, rope_dim=32,
+)
+FULL_VSR_VAE = dict(
+    block_out_channels=(128, 256, 512), layers_per_block=2,
+    norm_num_groups=32, scaling_factor=0.08333,
+)
+
+
+def test_fullwidth_vsr_loop_psnr(tmp_path):
+    """The shipped VSR widths (256/512/512/1024 UNet + f4 VAE) through the
+    reference v-pred upscale loop — low-res DDPM noising at noise_level,
+    noise-level class embedding, v-pred DDIM (2 steps, 2 frames, 32x32
+    low-res) vs our VideoSuperResolutionPipeline — >= 35 dB."""
+    import dump_pipeline_golden as dpg
+    from parity_harness import run_tiny_golden_vsr
+
+    path = str(tmp_path / "pipeline_vsr_fullwidth.npz")
+    dpg.dump_vsr(
+        path, steps=2, frames=2, hw=32, ctx_len=77, ctx_dim=1024,
+        unet_cfg=FULL_VSR_UNET, vae_cfg=FULL_VSR_VAE,
+        compress=False,
+    )
+    psnr = run_tiny_golden_vsr(path)
+    assert psnr >= 35.0, f"full-width VSR loop PSNR {psnr:.2f} < 35 dB"
+
+
 def test_fullwidth_base_loop_psnr(tmp_path):
     """909M UNet + SD f8 VAE through the reference DDIM loop (2 steps,
     2 frames, 256x256) vs our TextToVideoPipeline — >= 35 dB."""

@@ -340,7 +340,14 @@ VSR_VAE_CFG = dict(
 )
 
 
-def dump_vsr(out_path: str = "tests/golden/pipeline_vsr.npz") -> str:
+def dump_vsr(out_path: str = "tests/golden/pipeline_vsr.npz", *,
+             steps: int = VSR_STEPS, frames: int = VSR_FRAMES,
+             hw: int = VSR_HW, ctx_len: int = CTX_LEN, ctx_dim: int = CTX_DIM,
+             unet_cfg: dict = VSR_UNET_CFG, vae_cfg: dict = VSR_VAE_CFG,
+             compress: bool = True) -> str:
+    """Dump the VSR pipeline golden. Defaults reproduce the committed tiny
+    golden; tests/test_fullwidth_loop.py calls this at the SHIPPED widths
+    (256/512/512/1024 UNet, f4 VAE) with tiny spatial/steps (VERDICT r4 #4)."""
     import torch
 
     import ref_shim
@@ -362,15 +369,23 @@ def dump_vsr(out_path: str = "tests/golden/pipeline_vsr.npz") -> str:
             attention_dim_div=2,
         ),
         in_channels=7, out_channels=4,
-        block_out_channels=VSR_UNET_CFG["block_out_channels"],
-        layers_per_block=1, norm_num_groups=32, cross_attention_dim=CTX_DIM,
-        attention_head_dim=1, num_class_embeds=100,
+        block_out_channels=unet_cfg["block_out_channels"],
+        layers_per_block=unet_cfg["layers_per_block"],
+        norm_num_groups=unet_cfg["norm_num_groups"],
+        cross_attention_dim=ctx_dim,
+        attention_head_dim=unet_cfg["num_attention_heads"],
+        num_class_embeds=unet_cfg["num_class_embeds"],
+        down_block_types=unet_cfg["down_block_types"],
+        up_block_types=unet_cfg["up_block_types"],
+        only_cross_attention=unet_cfg["only_cross_attention"],
+        use_linear_projection=unet_cfg["use_linear_projection"],
     ).eval()
     randomize_zero_weights(unet_t, seed=81)
     torch.manual_seed(82)
     vae_t = TestVAEParity._torch_vae(
-        boc=VSR_VAE_CFG["block_out_channels"], layers=1,
-        groups=VSR_VAE_CFG["norm_num_groups"], latent=4,
+        boc=vae_cfg["block_out_channels"],
+        layers=vae_cfg["layers_per_block"],
+        groups=vae_cfg["norm_num_groups"], latent=4,
     ).eval()
     _fp16_grid(unet_t, vae_t)
 
@@ -382,9 +397,9 @@ def dump_vsr(out_path: str = "tests/golden/pipeline_vsr.npz") -> str:
         beta_schedule="linear", clip_sample=False, set_alpha_to_one=False,
         steps_offset=1, prediction_type="v_prediction",
     )
-    sch.num_inference_steps = VSR_STEPS
-    ratio = 1000 // VSR_STEPS
-    ts = (np.arange(0, VSR_STEPS) * ratio).round()[::-1].astype(np.int64) + 1
+    sch.num_inference_steps = steps
+    ratio = 1000 // steps
+    ts = (np.arange(0, steps) * ratio).round()[::-1].astype(np.int64) + 1
     sch.timesteps = torch.from_numpy(ts)
 
     # low-res augmentation schedule: the x4-upscaler low_res_scheduler's
@@ -394,7 +409,7 @@ def dump_vsr(out_path: str = "tests/golden/pipeline_vsr.npz") -> str:
     acp_lr = np.cumprod(1.0 - betas_lr)
 
     g = torch.Generator().manual_seed(83)
-    frames_in = torch.rand(1, 3, VSR_FRAMES, VSR_HW, VSR_HW, generator=g) * 2 - 1
+    frames_in = torch.rand(1, 3, frames, hw, hw, generator=g) * 2 - 1
     frames_in = frames_in.half().float()  # fp16 grid like the weights
     eps_lr = torch.randn(frames_in.shape, generator=g)
     nl = VSR_NOISE_LEVEL
@@ -403,9 +418,9 @@ def dump_vsr(out_path: str = "tests/golden/pipeline_vsr.npz") -> str:
         + float(np.sqrt(1.0 - acp_lr[nl])) * eps_lr
     )
 
-    z0 = torch.randn(1, 4, VSR_FRAMES, VSR_HW, VSR_HW, generator=g)
-    text_uncond = torch.randn(1, CTX_LEN, CTX_DIM, generator=g)
-    text_cond = torch.randn(1, CTX_LEN, CTX_DIM, generator=g)
+    z0 = torch.randn(1, 4, frames, hw, hw, generator=g)
+    text_uncond = torch.randn(1, ctx_len, ctx_dim, generator=g)
+    text_cond = torch.randn(1, ctx_len, ctx_dim, generator=g)
     text_states = torch.cat([text_uncond, text_cond])  # diffusers CFG order
 
     # --- reference denoise loop (…3d.py:709-738): CFG-doubled image +
@@ -446,11 +461,12 @@ def dump_vsr(out_path: str = "tests/golden/pipeline_vsr.npz") -> str:
     for k, v in vae_t.state_dict().items():
         arrays[f"vae::{k}"] = v.half().numpy()
     arrays["meta"] = np.array(json.dumps(dict(
-        steps=VSR_STEPS, guidance=VSR_GUIDANCE, noise_level=nl,
-        unet=VSR_UNET_CFG, vae=VSR_VAE_CFG, frames=VSR_FRAMES,
-        height=VSR_HW, width=VSR_HW,
+        steps=steps, guidance=VSR_GUIDANCE, noise_level=nl,
+        unet=unet_cfg, vae=vae_cfg, frames=frames,
+        height=hw, width=hw,
     )))
-    np.savez_compressed(out_path, **arrays)
+    save = np.savez_compressed if compress else np.savez
+    save(out_path, **arrays)
     print(f"wrote {out_path} ({os.path.getsize(out_path)/1e6:.1f} MB)")
     return out_path
 
