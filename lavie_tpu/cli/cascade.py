@@ -29,6 +29,9 @@ def main(argv=None):
     pipe = VideoCascadePipeline.init_random(
         jax.random.PRNGKey(cfg.get("seed") or 0), tiny=tiny,
         conv_quant=str(cfg.get("conv_quant", "none")),  # int8 = turbo (non-parity)
+        conv_quant_exclude=tuple(
+            p for p in str(cfg.get("conv_quant_exclude", "")).split(",") if p
+        ),
     )
 
     out_dir = cfg.get("output_folder", "./res/cascade/")

@@ -58,11 +58,21 @@ def build_pipeline(cfg: dict) -> TextToVideoPipeline:
         text_cfg = CLIPTextConfig.vit_l()
     # opt-in int8 turbo conv path (nn/quant.py) — NOT the parity path
     quant = str(cfg.get("conv_quant", "none"))
+    # selective quantization: path patterns kept exact even in int8 mode
+    # (the drift-vs-speed Pareto knob — DESIGN.md round-5; e.g. the VSR
+    # promote config excludes "VAE,samplers,up_blocks")
+    quant_exclude = tuple(
+        p for p in str(cfg.get("conv_quant_exclude", "")).split(",") if p
+    )
     if quant != "none":
         import dataclasses
 
-        unet_cfg = dataclasses.replace(unet_cfg, conv_quant=quant)
-        vae_cfg = dataclasses.replace(vae_cfg, conv_quant=quant)
+        vae_quant = "none" if "VAE" in quant_exclude else quant
+        ex = tuple(p for p in quant_exclude if p != "VAE")
+        unet_cfg = dataclasses.replace(unet_cfg, conv_quant=quant,
+                                       conv_quant_exclude=ex)
+        vae_cfg = dataclasses.replace(vae_cfg, conv_quant=vae_quant,
+                                      conv_quant_exclude=ex)
 
     ckpt_path = cfg.get("ckpt_path")
     if ckpt_path and os.path.exists(str(ckpt_path)):

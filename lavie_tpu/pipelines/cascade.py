@@ -63,6 +63,7 @@ class VideoCascadePipeline:
         tiny: bool = False,
         dtype: Any = None,
         conv_quant: str = "none",
+        conv_quant_exclude: tuple = (),
     ) -> "VideoCascadePipeline":
         import dataclasses
 
@@ -72,11 +73,16 @@ class VideoCascadePipeline:
         k1, k2, k3 = jax.random.split(rng, 3)
         _mk = (lambda c: c.tiny()) if tiny else (lambda c: c)
         # opt-in int8 turbo convs across all stages (nn/quant.py) — NOT the
-        # parity path; one switch for the whole cascade
+        # parity path; one switch for the whole cascade. conv_quant_exclude
+        # quantizes selectively ("VAE" keeps the codecs exact; other
+        # patterns match conv module paths — DESIGN.md round-5 Pareto)
+        ex = tuple(p for p in conv_quant_exclude if p != "VAE")
         def mk(c):
             c = _mk(c)
             if conv_quant != "none" and hasattr(c, "conv_quant"):
-                c = dataclasses.replace(c, conv_quant=conv_quant)
+                q = ("none" if isinstance(c, VAEConfig)
+                     and "VAE" in conv_quant_exclude else conv_quant)
+                c = dataclasses.replace(c, conv_quant=q, conv_quant_exclude=ex)
             return c
         base = TextToVideoPipeline.init_random(
             k1,

@@ -30,9 +30,11 @@ class Predictor:
         tiny: bool = False,
         seed: int = 0,
         conv_quant: str = "none",
+        conv_quant_exclude: tuple = (),
     ) -> None:
         self.pipeline = VideoCascadePipeline.init_random(
-            jax.random.PRNGKey(seed), tiny=tiny, conv_quant=conv_quant
+            jax.random.PRNGKey(seed), tiny=tiny, conv_quant=conv_quant,
+            conv_quant_exclude=tuple(conv_quant_exclude),
         )
         if ckpt_dir:
             self._load_checkpoints(ckpt_dir)

@@ -149,9 +149,19 @@ def main():
     ap.add_argument("--dp", type=int, default=8)
     ap.add_argument("--bench", help="explicit BENCH_r0N.json (default: newest complete)")
     ap.add_argument("--json", action="store_true", help="one JSON line only")
+    ap.add_argument("--override", default="",
+                    help="comma-separated KEY=VAL stage inputs replacing the "
+                    "artifact values (keys: base_fps, tsr_s, vsr_s, "
+                    "vsr_tail_s) — e.g. the turbo promote-config window: "
+                    "--override vsr_s=93.8,vsr_tail_s=88")
     args = ap.parse_args()
 
     vals = load_bench(args.bench)
+    for kv in (p for p in args.override.split(",") if p):
+        k, v = kv.split("=")
+        assert k in STAGE_PREFIXES, f"unknown override key {k}"
+        vals[k] = float(v)
+        vals["artifact"] = f"{vals.get('artifact')}+overrides"
     out = {p: project(vals, dp=args.dp, preset=p) for p in PRESETS}
 
     cascade = load_cascade()

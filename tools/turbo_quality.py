@@ -81,6 +81,13 @@ SWEEP_CLASSES = [
     ("exc-temporal", ("temporal_blocks", "temporal_block")),  # temporal-module spatial resnets
     ("exc-up-blocks", ("up_blocks",)),  # decoder half of the UNet
     ("exc-down-blocks", ("down_blocks",)),
+    # combinations informed by the single-class round-5 sweep (DESIGN.md):
+    # VAE and sampler quantization are PURE LOSSES (quantize overhead beats
+    # their int8 win AND they cost drift); up-block quantization is the
+    # dominant drift source. The promote candidate excludes all three.
+    ("exc-vae-samplers", ("VAE", "samplers")),
+    ("exc-vae-samplers-up", ("VAE", "samplers", "up_blocks")),
+    ("exc-vae-up", ("VAE", "up_blocks")),
 ]
 
 
