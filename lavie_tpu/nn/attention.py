@@ -415,21 +415,23 @@ class SparseCausalAttention(nn.Module):
 
         from lavie_tpu.kernels.flash_attention import flash_cmajor, flash_cmajor_sparse
 
-        if os.environ.get("LAVIE_SPARSE_HOIST", "0") == "1":
+        if os.environ.get("LAVIE_SPARSE_HOIST", "1") == "1":
             # NOTE: this env read happens inside a TRACED method — under an
             # outer jit the flag freezes at first trace; set it before the
-            # process's first forward (process-level opt-in), later changes
+            # process's first forward (process-level switch), later changes
             # are silently ignored for already-compiled shapes.
-            # OPT-IN copy-free kv: the kernel's block index maps synthesize
-            # the concat(frame 0, frame i-1) kv straight from the raw
-            # per-frame projections — no (BF, E, 2S) anchor/prev
+            # DEFAULT-ON copy-free kv (r5): the kernel's block index maps
+            # synthesize the concat(frame 0, frame i-1) kv straight from
+            # the raw per-frame projections — no (BF, E, 2S) anchor/prev
             # materialization (bit-identical block order;
             # tests/test_flash_attention.py::TestFlashCmajorSparse).
-            # Default OFF: inside the production hybrid-scan chunk programs
-            # the data-dependent kv index maps hang the axon remote
-            # compiler (>27 min on the base chunk that compiles in ~2 min
-            # with the materialized path; standalone kernel compiles in
-            # ~2 s — DESIGN.md "Round-4 sparse-kv hoisting").
+            # The r4 ">27 min remote-compile hang" attributed to these
+            # index maps did NOT reproduce in round 5: a minimal scan
+            # repro (tools/repro_sparse_hoist.py) compiles in seconds at
+            # tiny AND production shapes, and the full production TSR
+            # hybrid chunk compiled in ~2 min cold and ran (warm sample
+            # 50.5 s) — the hang was transient compiler-service state.
+            # LAVIE_SPARSE_HOIST=0 restores the materialized path.
             out = flash_cmajor_sparse(
                 q, k, v, frames=f,
                 heads=self.heads, scale=self.head_dim**-0.5,

@@ -17,8 +17,9 @@ that might reproduce the hang and A/Bs index-map formulations:
      pure int arithmetic, no select on the kv axis.
 
 Each variant compiles under a WALL-CLOCK GUARD (--guard seconds, default
-300): compilation runs in a fork; if the child exceeds the guard it is
-killed and the variant is recorded as HANG. Run this AFTER the round's
+300): compilation runs in a FRESH SUBPROCESS (os.fork() deadlocks under
+JAX's threads — measured); past the guard it is killed and the variant is
+recorded as HANG. Run this AFTER the round's
 bench artifacts are captured (a hung remote compile can shadow the worker;
 DESIGN.md round-4 + the wedge-hazard memory note).
 
@@ -31,7 +32,6 @@ from __future__ import annotations
 import argparse
 import functools
 import os
-import signal
 import sys
 import time
 
@@ -149,45 +149,48 @@ def make_scan_program(variant, frames, c, s, heads, steps):
     return chunk
 
 
-def run_variant(variant, args):
-    """Fork; the child compiles+runs the variant, the parent enforces the
-    wall guard. Returns ('ok', seconds) / ('hang', guard) / ('err', rc)."""
-    pid = os.fork()
-    if pid == 0:  # child
-        try:
-            rng = np.random.RandomState(0)
-            bf = args.batch * args.frames
-            x = jnp.asarray(
-                rng.randn(bf, args.c, args.s).astype(np.float32), jnp.bfloat16
-            )
-            w = jnp.asarray(
-                rng.randn(args.c, args.c).astype(np.float32) * 0.05, jnp.bfloat16
-            )
-            ts = jnp.arange(args.steps, dtype=jnp.int32)
-            chunk = make_scan_program(
-                variant, args.frames, args.c, args.s, args.heads, args.steps
-            )
-            t0 = time.time()
-            out = np.asarray(chunk(x, w, ts))
-            log(f"  [{variant}] child: compile+run {time.time()-t0:.1f}s, "
-                f"out[0,0,0]={out[0,0,0]:.4f}")
-            os._exit(0)
-        except Exception as e:  # noqa: BLE001
-            log(f"  [{variant}] child error: {type(e).__name__}: {e}")
-            os._exit(2)
+def child_main(args):
+    """Runs ONE variant to completion in a FRESH interpreter (subprocess —
+    os.fork() deadlocks under JAX's threads, measured) and exits 0/2."""
+    try:
+        rng = np.random.RandomState(0)
+        bf = args.batch * args.frames
+        x = jnp.asarray(
+            rng.randn(bf, args.c, args.s).astype(np.float32), jnp.bfloat16
+        )
+        w = jnp.asarray(
+            rng.randn(args.c, args.c).astype(np.float32) * 0.05, jnp.bfloat16
+        )
+        ts = jnp.arange(args.steps, dtype=jnp.int32)
+        chunk = make_scan_program(
+            args.child, args.frames, args.c, args.s, args.heads, args.steps
+        )
+        t0 = time.time()
+        out = np.asarray(chunk(x, w, ts))
+        log(f"  [{args.child}] child: compile+run {time.time()-t0:.1f}s, "
+            f"out[0,0,0]={float(out[0, 0, 0]):.4f}")
+        sys.exit(0)
+    except Exception as e:  # noqa: BLE001
+        log(f"  [{args.child}] child error: {type(e).__name__}: {e}")
+        sys.exit(2)
 
+
+def run_variant(variant, args):
+    """Spawn a fresh interpreter for the variant under the wall guard.
+    Returns ('ok', seconds) / ('hang', guard) / ('err', rc)."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--child", variant,
+           "--steps", str(args.steps), "--frames", str(args.frames),
+           "--batch", str(args.batch), "--c", str(args.c),
+           "--s", str(args.s), "--heads", str(args.heads)]
     t0 = time.time()
-    deadline = t0 + args.guard
-    while time.time() < deadline:
-        done, status = os.waitpid(pid, os.WNOHANG)
-        if done:
-            dt = time.time() - t0
-            rc = os.waitstatus_to_exitcode(status)
-            return ("ok", dt) if rc == 0 else ("err", rc)
-        time.sleep(1.0)
-    os.kill(pid, signal.SIGKILL)
-    os.waitpid(pid, 0)
-    return ("hang", args.guard)
+    try:
+        p = subprocess.run(cmd, timeout=args.guard)
+        dt = time.time() - t0
+        return ("ok", round(dt, 1)) if p.returncode == 0 else ("err", p.returncode)
+    except subprocess.TimeoutExpired:
+        return ("hang", args.guard)
 
 
 def main():
@@ -200,9 +203,14 @@ def main():
     ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--guard", type=int, default=300)
     ap.add_argument("--variants", default="A,B,C")
+    ap.add_argument("--child", help="internal: run ONE variant in-process")
     args = ap.parse_args()
 
-    log(f"device: {jax.devices()[0]}; grid: bf={args.batch * args.frames} "
+    if args.child:
+        child_main(args)
+        return
+
+    log(f"grid: bf={args.batch * args.frames} "
         f"c={args.c} s={args.s} steps={args.steps} guard={args.guard}s")
     results = {}
     for v in args.variants.split(","):
