@@ -179,11 +179,16 @@ def stage_tsr(args):
     rng = np.random.RandomState(7)
     video = (rng.rand(16, 320, 512, 3) * 255).astype(np.uint8)
 
+    exclude = tuple(p for p in (args.exclude or "").split(",") if p)
     outs = {}
     for mode in ("none", "int8"):
+        ex = exclude if mode == "int8" else ()
+        vae_mode = "none" if "VAE" in ex else mode
         p = VideoInterpolationPipeline(
-            dataclasses.replace(pipe.unet_config, conv_quant=mode),
-            dataclasses.replace(pipe.vae_config, conv_quant=mode),
+            dataclasses.replace(pipe.unet_config, conv_quant=mode,
+                                conv_quant_exclude=tuple(x for x in ex if x != "VAE")),
+            dataclasses.replace(pipe.vae_config, conv_quant=vae_mode,
+                                conv_quant_exclude=tuple(x for x in ex if x != "VAE")),
             pipe.text_config, pipe.params,
         )
         t0 = time.time()
@@ -194,7 +199,8 @@ def stage_tsr(args):
 
     psnr, mad, mx = psnr_stats(outs["none"], outs["int8"])
     print(f"tsr turbo-vs-bf16: PSNR {psnr:.2f} dB  mean|Δ| {mad:.3f}  "
-          f"max|Δ| {mx:.0f} (uint8, 16->61f x {args.steps} DDIM steps, random-init)")
+          f"max|Δ| {mx:.0f} (uint8, 16->61f x {args.steps} DDIM steps, random-init"
+          f"{', exclude=' + ','.join(exclude) if exclude else ''})")
     if args.check and psnr < args.min_psnr:
         sys.exit(1)
 
