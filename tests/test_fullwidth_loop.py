@@ -43,6 +43,33 @@ FULL_SD_VAE = dict(
 )
 
 
+FULL_TSR_UNET = dict(
+    in_channels=8, block_out_channels=(320, 640, 1280, 1280),
+    layers_per_block=2, num_attention_heads=8, norm_num_groups=32,
+    cross_attention_dim=768, spatial_attention="sparse_causal",
+    temporal_attention="plain", ff_before_temporal=True,
+)
+
+
+def test_fullwidth_tsr_loop_psnr(tmp_path):
+    """The TSR production widths (8-ch 320/640/1280/1280 UNet, SparseCausal
+    attn1, plain temporal, ff-before-temporal) through the reference's own
+    SpacedDiffusion DDIM loop with copied-video concat conditioning (61
+    frames — the recipe is 61-specific — at 64x64, 2 steps) vs our
+    VideoInterpolationPipeline — >= 35 dB."""
+    import dump_pipeline_golden as dpg
+    from parity_harness import run_tiny_golden_tsr
+
+    path = str(tmp_path / "pipeline_tsr_fullwidth.npz")
+    dpg.dump_tsr(
+        path, steps=2, hw=64, ctx_len=77, ctx_dim=768,
+        unet_cfg=FULL_TSR_UNET, vae_cfg=FULL_SD_VAE,
+        compress=False,
+    )
+    psnr = run_tiny_golden_tsr(path)
+    assert psnr >= 35.0, f"full-width TSR loop PSNR {psnr:.2f} < 35 dB"
+
+
 FULL_VSR_UNET = dict(
     in_channels=7, block_out_channels=(256, 512, 512, 1024),
     down_block_types=(

@@ -199,7 +199,14 @@ TSR_UNET_CFG = dict(
 )
 
 
-def dump_tsr(out_path: str = "tests/golden/pipeline_tsr.npz") -> str:
+def dump_tsr(out_path: str = "tests/golden/pipeline_tsr.npz", *,
+             steps: int = TSR_STEPS, hw: int = TSR_HW,
+             ctx_len: int = CTX_LEN, ctx_dim: int = CTX_DIM,
+             unet_cfg: dict = TSR_UNET_CFG, vae_cfg: dict = VAE_CFG,
+             compress: bool = True) -> str:
+    """Dump the TSR pipeline golden (61 frames — the copied-video recipe is
+    61-specific). Defaults reproduce the committed tiny golden;
+    tests/test_fullwidth_loop.py calls this at production widths."""
     import torch
 
     import ref_shim
@@ -213,16 +220,19 @@ def dump_tsr(out_path: str = "tests/golden/pipeline_tsr.npz") -> str:
     torch.manual_seed(70)
     unet_t = ref_unet_mod.UNet3DConditionModel(
         in_channels=8, out_channels=4,
-        block_out_channels=TSR_UNET_CFG["block_out_channels"],
-        layers_per_block=1, norm_num_groups=8, cross_attention_dim=CTX_DIM,
-        attention_head_dim=TSR_UNET_CFG["num_attention_heads"],
+        block_out_channels=unet_cfg["block_out_channels"],
+        layers_per_block=unet_cfg["layers_per_block"],
+        norm_num_groups=unet_cfg["norm_num_groups"],
+        cross_attention_dim=ctx_dim,
+        attention_head_dim=unet_cfg["num_attention_heads"],
         use_first_frame=True,
     ).eval()
     randomize_zero_weights(unet_t, seed=71)
     torch.manual_seed(72)
     vae_t = TestVAEParity._torch_vae(
-        boc=VAE_CFG["block_out_channels"], layers=1,
-        groups=VAE_CFG["norm_num_groups"], latent=4,
+        boc=vae_cfg["block_out_channels"],
+        layers=vae_cfg["layers_per_block"],
+        groups=vae_cfg["norm_num_groups"], latent=4,
     ).eval()
     _fp16_grid(unet_t, vae_t)
 
@@ -230,7 +240,7 @@ def dump_tsr(out_path: str = "tests/golden/pipeline_tsr.npz") -> str:
     # SpacedDiffusion(ε-pred, FIXED_LARGE, linear β over 1000 steps)
     # (interpolation/diffusion/__init__.py:10-47)
     diffusion = respace.SpacedDiffusion(
-        use_timesteps=respace.space_timesteps(1000, str(TSR_STEPS)),
+        use_timesteps=respace.space_timesteps(1000, str(steps)),
         betas=gd.get_named_beta_schedule("linear", 1000),
         model_mean_type=gd.ModelMeanType.EPSILON,
         model_var_type=gd.ModelVarType.FIXED_LARGE,
@@ -238,10 +248,10 @@ def dump_tsr(out_path: str = "tests/golden/pipeline_tsr.npz") -> str:
     )
 
     g = torch.Generator().manual_seed(73)
-    lat_hw = TSR_HW // 8
+    lat_hw = hw // 8
     # 61 input frames in [-1, 1] (reference get_input reads 61 frames via
     # linspace + Normalize(0.5, 0.5), interpolation/sample.py:73-81)
-    video_in = torch.rand(TSR_FRAMES, 3, TSR_HW, TSR_HW, generator=g) * 2 - 1
+    video_in = torch.rand(TSR_FRAMES, 3, hw, hw, generator=g) * 2 - 1
     video_in = (video_in.half().float())  # fp16 grid like the weights
 
     with torch.no_grad():
@@ -262,8 +272,8 @@ def dump_tsr(out_path: str = "tests/golden/pipeline_tsr.npz") -> str:
 
         z0 = torch.randn(1, 4, TSR_FRAMES, lat_hw, lat_hw, generator=g)
         z2 = torch.cat([z0] * 2)
-        text_uncond = torch.randn(1, CTX_LEN, CTX_DIM, generator=g)
-        text_cond = torch.randn(1, CTX_LEN, CTX_DIM, generator=g)
+        text_uncond = torch.randn(1, ctx_len, ctx_dim, generator=g)
+        text_cond = torch.randn(1, ctx_len, ctx_dim, generator=g)
         # reference text order: [prompt, negative] (sample.py:156-158;
         # forward_with_cfg splits cond first, unet.py:470-473)
         text_prompt = torch.cat([text_cond, text_uncond])
@@ -295,10 +305,11 @@ def dump_tsr(out_path: str = "tests/golden/pipeline_tsr.npz") -> str:
     for k, v in vae_t.state_dict().items():
         arrays[f"vae::{k}"] = v.half().numpy()
     arrays["meta"] = np.array(json.dumps(dict(
-        steps=TSR_STEPS, guidance=TSR_GUIDANCE, unet=TSR_UNET_CFG,
-        vae=VAE_CFG, frames=TSR_FRAMES, height=TSR_HW, width=TSR_HW,
+        steps=steps, guidance=TSR_GUIDANCE, unet=unet_cfg,
+        vae=vae_cfg, frames=TSR_FRAMES, height=hw, width=hw,
     )))
-    np.savez_compressed(out_path, **arrays)
+    save = np.savez_compressed if compress else np.savez
+    save(out_path, **arrays)
     print(f"wrote {out_path} ({os.path.getsize(out_path)/1e6:.1f} MB)")
     return out_path
 
